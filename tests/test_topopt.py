@@ -1,0 +1,138 @@
+"""Derivative validation and OC optimizer tests.
+
+The FD-vs-adjoint gradient check is the critical correctness test for TO
+(reference: VoxelFEM/python/tests/Numerical_Derivatives.ipynb — centered
+differences vs analytic adjoint on tiny 2D/3D grids).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ndr_tpu.fem.simulator import problem_from_config
+from ndr_tpu.fem import topopt
+from ndr_tpu.io.problem import load_problem
+from ndr_tpu.ops import filters as flt
+from ndr_tpu.ops import volume as vol
+
+
+def _make_top(prob_path, dims, filters=()):
+    cfg = load_problem(prob_path)
+    prob, grid = problem_from_config(cfg, dims=dims)
+
+    def solve(rho, u0):
+        return topopt.solve_displacement_cg(prob, rho, u0, tol=1e-12, max_iter=4000)
+
+    return topopt.TopologyOptimizationProblem(
+        prob=prob, filters=list(filters), max_volume=cfg.max_volume, solve=solve
+    ), cfg
+
+
+@pytest.mark.parametrize("prob_path,dims,filters", [
+    ("problems/2d/mbb_beam.json", (16, 8), ()),
+    ("problems/2d/mbb_beam.json", (16, 8),
+     (flt.SmoothingFilter(radius=1), flt.ProjectionFilter(beta=2.0))),
+    ("problems/3d/cantilever_flexion.json", (8, 4, 4), ()),
+])
+def test_objective_gradient_vs_fd(prob_path, dims, filters):
+    top, cfg = _make_top(prob_path, dims, filters)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        np.clip(cfg.max_volume + 0.2 * rng.standard_normal(top.prob.grid.dims), 0.05, 0.95)
+    )
+
+    def full_objective(xx):
+        c, u, _ = top.objective(xx)
+        return float(c)
+
+    _, u, _ = top.objective(x)
+    g = np.asarray(top.objective_gradient(x, u))
+
+    # centered differences along a few random directions
+    for k in range(3):
+        d = rng.standard_normal(x.shape)
+        d /= np.linalg.norm(d)
+        h = 1e-5
+        fd = (full_objective(x + h * d) - full_objective(x - h * d)) / (2 * h)
+        an = float(np.sum(g * d))
+        assert abs(fd - an) < 2e-5 * max(1.0, abs(an)), (k, fd, an)
+
+
+def test_constraint_gradient_is_constant():
+    top, cfg = _make_top("problems/2d/mbb_beam.json", (8, 4))
+    x = jnp.full(top.prob.grid.dims, 0.4)
+    g = np.asarray(top.constraint_gradient(x))
+    np.testing.assert_allclose(
+        g, -1.0 / (cfg.max_volume * x.size), rtol=1e-12
+    )
+
+
+def test_find_root_constrains_mean_and_gradient():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((13, 7)))
+    target = 0.3
+    y = vol.sigmoid_with_constrained_mean(x, target)
+    assert abs(float(jnp.mean(y)) - target) < 1e-9
+    assert float(jnp.min(y)) > 0 and float(jnp.max(y)) < 1
+
+    # gradient of a scalar functional through the implicit root
+    w = jnp.asarray(rng.standard_normal(x.shape))
+
+    def f(xx):
+        return jnp.sum(w * vol.sigmoid_with_constrained_mean(xx, target))
+
+    g = np.asarray(jax.grad(f)(x))
+    d = rng.standard_normal(x.shape); d /= np.linalg.norm(d)
+    h = 1e-6
+    fd = (float(f(x + h * d)) - float(f(x - h * d))) / (2 * h)
+    an = float(np.sum(g * d))
+    assert abs(fd - an) < 1e-6 * max(1.0, abs(an))
+
+
+def test_langelaar_filter_gradient_and_monotonicity():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0.0, 1.0, size=(6, 5)))
+    filt = flt.LangelaarFilter()
+    y = filt.apply(x)
+    # first layer unchanged; filtered never (significantly) exceeds input
+    np.testing.assert_allclose(np.asarray(y)[:, 0], np.asarray(x)[:, 0])
+
+    w = jnp.asarray(rng.standard_normal(x.shape))
+
+    def f(xx):
+        return jnp.sum(w * filt.apply(xx))
+
+    g = np.asarray(jax.grad(f)(x))
+    d = rng.standard_normal(x.shape); d /= np.linalg.norm(d)
+    h = 1e-6
+    fd = (float(f(x + h * d)) - float(f(x - h * d))) / (2 * h)
+    an = float(np.sum(g * d))
+    assert abs(fd - an) < 1e-6 * max(1.0, abs(an))
+
+
+def test_oc_tiny_2d_run():
+    """Tiny MBB with smoothing+projection filters: compliance decreases,
+    volume constraint is met (the classic-SIMP pipeline end to end).
+
+    (reference pipeline: fem.py ground_truth_topopt + OCOptimizer)
+    """
+    top, cfg = _make_top(
+        "problems/2d/mbb_beam.json", (24, 8),
+        (flt.SmoothingFilter(radius=1), flt.ProjectionFilter(beta=1.0)),
+    )
+    x0 = jnp.full(top.prob.grid.dims, cfg.max_volume)
+    state = topopt.oc_init(top, x0)
+
+    step = jax.jit(lambda s: topopt.oc_step(top, s))
+    history = []
+    for i in range(12):
+        state, metrics = step(state)
+        history.append(float(metrics["compliance"]))
+
+    # volume of filtered density respects the constraint to ctol
+    rho = top.physical_density(state.x)
+    assert abs(float(jnp.mean(rho)) - cfg.max_volume) < 1e-4
+    # objective decreased substantially from the uniform design
+    assert history[-1] < history[0]
+    assert 0.0 <= float(state.x.min()) and float(state.x.max()) <= 1.0
