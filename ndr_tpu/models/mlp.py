@@ -1,0 +1,132 @@
+"""Fourier-feature MLP — the paper's neural design representation.
+
+Matches the reference `networks.MLP` (networks.py:127-262) exactly:
+
+  * Gaussian Fourier-feature embedding: ``B ~ N(0, 1) * sigma`` drawn once
+    at init and *not trained* (a buffer, not a parameter — the reference
+    explicitly saves/restores it beside the state dict, utils.py:258-281).
+    ``sigma`` is the frequency-tuning knob of the paper.
+  * encode(x) = [sin(2 pi x B^T), cos(2 pi x B^T)]  (networks.py:182-184)
+  * `n_layers` Linear layers (first 2*embed -> n_neurons, last -> out),
+    ReLU hidden activations, optional output activation.
+  * orthogonal init with gain sqrt(max(n_neurons / embedding_size, 1)),
+    zero biases (networks.py:242-256).
+  * :func:`homogeneous_init` — re-initialize the *last* layer with tiny
+    weights and bias = v_max so iteration 0 produces a uniform field at
+    the target volume (reference: fem.py:376-401).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPConfig:
+    in_features: int = 2
+    out_features: int = 1
+    n_neurons: int = 256
+    n_layers: int = 4
+    embedding_size: int = 256
+    scale: float = 0.0                      # sigma of the Fourier features
+    output_activation: Optional[str] = None  # None | "sigmoid"
+
+
+def _orthogonal(key, shape, gain, dtype):
+    return jax.nn.initializers.orthogonal(scale=gain)(key, shape, dtype)
+
+
+def init_mlp(key: jax.Array, cfg: MLPConfig, dtype=jnp.float32):
+    """Returns (params, buffers): params = {'layers': [(W, b), ...]},
+    buffers = {'B': embedding matrix (embed, in)} — B is not trained."""
+    kB, key = jax.random.split(key)
+    B = jax.random.normal(kB, (cfg.embedding_size, cfg.in_features), dtype) * cfg.scale
+
+    gain = float(np.sqrt(max(cfg.n_neurons / cfg.embedding_size, 1.0)))
+    sizes = (
+        [2 * cfg.embedding_size]
+        + [cfg.n_neurons] * (cfg.n_layers - 1)
+        + [cfg.out_features]
+    )
+    layers = []
+    for i in range(cfg.n_layers):
+        key, k = jax.random.split(key)
+        W = _orthogonal(k, (sizes[i + 1], sizes[i]), gain, dtype)
+        b = jnp.zeros((sizes[i + 1],), dtype)
+        layers.append({"w": W, "b": b})
+    return {"layers": layers}, {"B": B}
+
+
+def fourier_encode(x: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """[sin(2 pi x B^T), cos(2 pi x B^T)] (reference: networks.py:182-184)."""
+    proj = (2.0 * jnp.pi * x) @ B.T
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+def mlp_apply(params, buffers, x: jnp.ndarray, cfg: MLPConfig) -> jnp.ndarray:
+    """Forward pass. x: (..., in_features) -> (..., out_features)."""
+    h = fourier_encode(x, buffers["B"])
+    layers = params["layers"]
+    for i, lyr in enumerate(layers):
+        h = h @ lyr["w"].T + lyr["b"]
+        if i < len(layers) - 1:
+            h = jax.nn.relu(h)
+    if cfg.output_activation == "sigmoid":
+        h = jax.nn.sigmoid(h)
+    return h
+
+
+def homogeneous_init(params, constant: float):
+    """Zero (tiny-noise) the last layer's weights, set its bias to
+    `constant`, so the first predicted field is uniform at the target
+    volume fraction (reference: fem.py homogeneous_init + train_xdg.py:201).
+
+    Deterministic N(0, 1e-4) noise is drawn with a fixed key (the scale is
+    so small it only breaks exact ties).
+    """
+    layers = list(params["layers"])
+    last = layers[-1]
+    key = jax.random.PRNGKey(0)
+    W = 1e-4 * jax.random.normal(key, last["w"].shape, last["w"].dtype)
+    b = jnp.full_like(last["b"], constant)
+    layers[-1] = {"w": W, "b": b}
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# Multi-headed MLP (continual learning; reference: networks.py:264-323)
+# ---------------------------------------------------------------------------
+
+def init_multihead_mlp(key, cfg: MLPConfig, n_heads: int, dtype=jnp.float32):
+    """Shared trunk (the MLP minus its last layer) + per-task linear heads."""
+    trunk_cfg = dataclasses.replace(cfg, scale=1.0)
+    params, buffers = init_mlp(key, trunk_cfg, dtype)
+    trunk = params["layers"][:-1]
+    gain = float(np.sqrt(max(cfg.n_neurons / cfg.embedding_size, 1.0)))
+    heads = []
+    for _ in range(n_heads):
+        key, k = jax.random.split(key)
+        W = _orthogonal(k, (cfg.out_features, cfg.n_neurons), gain, dtype)
+        heads.append({"w": W, "b": jnp.zeros((cfg.out_features,), dtype)})
+    buffers = dict(buffers, old_scale=jnp.asarray(1.0, dtype))
+    return {"trunk": trunk, "heads": heads}, buffers
+
+
+def multihead_apply(params, buffers, x, head_idx: int, cfg: MLPConfig):
+    h = fourier_encode(x, buffers["B"])
+    for lyr in params["trunk"]:
+        h = jax.nn.relu(h @ lyr["w"].T + lyr["b"])
+    head = params["heads"][head_idx]
+    return h @ head["w"].T + head["b"]
+
+
+def change_scale_value(buffers, scale: float):
+    """Rescale the Fourier matrix for a new task's sigma
+    (reference: networks.py:300-308 MultiHeadedMLP.change_scale_value)."""
+    B = buffers["B"] / buffers["old_scale"] * scale
+    return dict(buffers, B=B, old_scale=jnp.asarray(scale, B.dtype))
