@@ -304,8 +304,10 @@ class LevelState:
     color_masks: jnp.ndarray
     young: Optional[jnp.ndarray]        # level 0 only
     Ke: Optional[jnp.ndarray]           # levels >= 1
-    Minv_rows: jnp.ndarray              # nodes + (N, N) inverse-free diag blocks
+    Minv_rows: jnp.ndarray              # nodes + (N, N) diag blocks of K
     K0: Optional[jnp.ndarray]           # level 0 only
+    Dinv: Optional[jnp.ndarray] = None  # inverse diag blocks (chebyshev)
+    lmax: Optional[jnp.ndarray] = None  # est. top eigenvalue of Dinv K
 
 
 def _apply_k_level(lv: LevelState, u: jnp.ndarray) -> jnp.ndarray:
@@ -357,7 +359,8 @@ def gs_sweep(lv: LevelState, u, b, forward: bool = True):
 
 
 def build_level_states(
-    cfg: MGConfig, prob: FEMProblem, young: jnp.ndarray
+    cfg: MGConfig, prob: FEMProblem, young: jnp.ndarray,
+    smoother: str = "gs", power_iters: int = 8,
 ) -> List[LevelState]:
     Kes = build_level_stiffness(cfg, young) if cfg.num_levels > 1 else []
     states = []
@@ -379,7 +382,76 @@ def build_level_states(
                 K0=jnp.asarray(cfg.K0, dtype=young.dtype) if l == 0 else None,
             )
         )
+    if smoother == "chebyshev":
+        for lv in states:
+            lv.Dinv = jnp.linalg.inv(lv.Minv_rows)
+            lv.lmax = _estimate_lmax(lv, power_iters)
     return states
+
+
+def _dinv_apply(lv: LevelState, r):
+    z = jnp.einsum("...ij,...j->...i", lv.Dinv, r)
+    return _zero_dirichlet(lv, z)
+
+
+def _estimate_lmax(lv: LevelState, iters: int) -> jnp.ndarray:
+    """Power iteration estimate of lambda_max(D^-1 K) on the free DOFs.
+
+    Runs at hierarchy-build time (once per density update); a 1.05 safety
+    factor guards the Chebyshev interval.
+    """
+    # deterministic pseudo-random start (key fixed: estimate only needs to
+    # be non-orthogonal to the top eigenvector)
+    v = _zero_dirichlet(
+        lv, jax.random.normal(jax.random.PRNGKey(7),
+                              lv.grid.nodes_per_dim + (lv.grid.ndim,),
+                              lv.Minv_rows.dtype)
+    )
+
+    def body(_, carry):
+        v, lam = carry
+        w = _dinv_apply(lv, _zero_dirichlet(lv, _apply_k_level(lv, v)))
+        lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v), 1e-30))
+        return w / jnp.maximum(jnp.linalg.norm(w.reshape(-1)), 1e-30), lam
+
+    _, lam = jax.lax.fori_loop(
+        0, iters, body, (v, jnp.asarray(1.0, lv.Minv_rows.dtype))
+    )
+    return 1.05 * lam
+
+
+def chebyshev_smooth(lv: LevelState, x, b, degree: int,
+                     lower_frac: float = 0.25):
+    """Degree-`degree` Chebyshev polynomial smoothing on D^-1 K.
+
+    TPU-first replacement for multicolor Gauss-Seidel: one stiffness
+    apply per degree, no sequential color passes, and (being a fixed
+    polynomial in an SPD-preconditioned operator) symmetric — safe inside
+    PCG. Targets the upper spectrum [lower_frac*lmax, lmax], the classic
+    choice for 2x-coarsening multigrid smoothers. This is a deliberate,
+    documented deviation from the reference's GS smoother
+    (MultigridSolver.hh:193-340); parity of the overall MGPCG is argued
+    via the accuracy/iteration-count envelope (SURVEY.md §4.5), and the
+    GS smoother remains available (smoother='gs').
+    """
+    lmax = lv.lmax
+    lmin = lower_frac * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    r = _zero_dirichlet(lv, b - _apply_k_level(lv, x))
+    z = _dinv_apply(lv, r)
+    d = z / theta
+    rho = 1.0 / sigma1
+    for _ in range(degree):
+        x = x + d
+        r = _zero_dirichlet(lv, r - _apply_k_level(lv, d))
+        z = _dinv_apply(lv, r)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+        rho = rho_new
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -406,44 +478,57 @@ def factor_coarsest(levels: List[LevelState]):
     return jax.scipy.linalg.cho_factor(K, lower=True)
 
 
-def vcycle(levels, chol, l, x, b, nsmooth: int, symmetric_gs: bool = True):
+def _smooth(lv: LevelState, x, b, nsmooth: int, forward: bool,
+            smoother: str, cheb_degree: int):
+    if smoother == "chebyshev":
+        # degree plays the role of "sweeps"; direction is irrelevant
+        return chebyshev_smooth(lv, x, b, degree=cheb_degree * nsmooth)
+    for _ in range(nsmooth):
+        x = gs_sweep(lv, x, b, forward=forward)
+    return x
+
+
+def vcycle(levels, chol, l, x, b, nsmooth: int, symmetric_gs: bool = True,
+           smoother: str = "gs", cheb_degree: int = 2):
     """(reference: MultigridSolver.hh:516-553)"""
     if l == len(levels) - 1:
         return _coarse_solve(levels[l], chol, b)
     lv = levels[l]
     x = _zero_dirichlet(lv, x)
-    for _ in range(nsmooth):
-        x = gs_sweep(lv, x, b, forward=True)
+    x = _smooth(lv, x, b, nsmooth, True, smoother, cheb_degree)
     r = _zero_dirichlet(lv, b - _apply_k_level(lv, x))
     b_c = restrict(r, lv.grid.ndim)
-    x_c = vcycle(levels, chol, l + 1, jnp.zeros_like(b_c), b_c, nsmooth, symmetric_gs)
+    x_c = vcycle(levels, chol, l + 1, jnp.zeros_like(b_c), b_c, nsmooth,
+                 symmetric_gs, smoother, cheb_degree)
     x = x + prolongate(x_c, lv.grid.ndim)
-    for _ in range(nsmooth):
-        x = gs_sweep(lv, x, b, forward=not symmetric_gs)
+    x = _smooth(lv, x, b, nsmooth, not symmetric_gs, smoother, cheb_degree)
     return x
 
 
-def full_multigrid(levels, chol, l, b, nsmooth: int, symmetric_gs: bool = True):
+def full_multigrid(levels, chol, l, b, nsmooth: int, symmetric_gs: bool = True,
+                   smoother: str = "gs", cheb_degree: int = 2):
     """(reference: MultigridSolver.hh:486-508)"""
     if l == len(levels) - 1:
         return _coarse_solve(levels[l], chol, b)
     b_c = restrict(b, levels[l].grid.ndim)
-    x_c = full_multigrid(levels, chol, l + 1, b_c, nsmooth, symmetric_gs)
+    x_c = full_multigrid(levels, chol, l + 1, b_c, nsmooth, symmetric_gs,
+                         smoother, cheb_degree)
     x = prolongate(x_c, levels[l].grid.ndim)
-    return vcycle(levels, chol, l, x, b, nsmooth, symmetric_gs)
+    return vcycle(levels, chol, l, x, b, nsmooth, symmetric_gs, smoother,
+                  cheb_degree)
 
 
-def mg_preconditioner(levels, chol, r, mg_iterations: int, nsmooth: int, fmg: bool):
+def mg_preconditioner(levels, chol, r, mg_iterations: int, nsmooth: int,
+                      fmg: bool, smoother: str = "gs", cheb_degree: int = 2):
     """s ~= K^-1 r (reference: applyPreconditionerInv, MultigridSolver.hh:476-481)."""
-    ndim = levels[0].grid.ndim
     if fmg:
-        s = full_multigrid(levels, chol, 0, r, nsmooth)
+        s = full_multigrid(levels, chol, 0, r, nsmooth, True, smoother, cheb_degree)
         for _ in range(mg_iterations - 1):
-            s = vcycle(levels, chol, 0, s, r, nsmooth)
+            s = vcycle(levels, chol, 0, s, r, nsmooth, True, smoother, cheb_degree)
     else:
         s = jnp.zeros_like(r)
         for _ in range(mg_iterations):
-            s = vcycle(levels, chol, 0, s, r, nsmooth)
+            s = vcycle(levels, chol, 0, s, r, nsmooth, True, smoother, cheb_degree)
     return s
 
 
@@ -464,6 +549,10 @@ class MGSolverSettings:
     full_multigrid: bool = True
     zero_init: bool = False
     symmetric_gs: bool = True
+    # smoother: "gs" = reference-parity multicolor Gauss-Seidel;
+    # "chebyshev" = TPU-fast polynomial smoother (1 apply per degree)
+    smoother: str = "gs"
+    cheb_degree: int = 2
 
 
 def mgpcg_solve(
@@ -481,7 +570,7 @@ def mgpcg_solve(
     preconditionedConjugateGradient).
     """
     young = prob.young(rho)
-    levels = build_level_states(cfg, prob, young)
+    levels = build_level_states(cfg, prob, young, smoother=settings.smoother)
     chol = factor_coarsest(levels)
 
     def apply_a(u):
@@ -493,6 +582,8 @@ def mgpcg_solve(
             settings.mg_iterations,
             settings.mg_smoothing_iterations,
             settings.full_multigrid,
+            settings.smoother,
+            settings.cheb_degree,
         )
         return _zero_dirichlet(levels[0], s)
 

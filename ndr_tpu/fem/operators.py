@@ -93,6 +93,13 @@ def apply_k(
 ) -> jnp.ndarray:
     """Matrix-free stiffness apply  f = K(E) u  (no Dirichlet handling).
 
+    TPU-first formulation: element DOFs are gathered into an
+    *element-minor* matrix U of shape (dofs_pe, num_elements) so the
+    per-element matvec is one MXU matmul ``K0 @ U`` whose lane dimension
+    is the (large) element count; the SIMP modulus scales columns; the
+    results scatter back through shifted-slice adds per scalar component
+    (no integer gather/scatter anywhere).
+
     Args:
       u: node displacement field, nodes_per_dim + (N,).
       young: per-element Young modulus field, shape ``dims``.
@@ -101,15 +108,26 @@ def apply_k(
     (reference: TensorProductSimulator.hh:905-952 applyK)
     """
     npe, N = grid.nodes_per_elem, grid.ndim
-    ue = gather_element_displacements(u, grid)                 # (dims, npe, N)
-    ue_flat = ue.reshape(grid.dims + (npe * N,))
-    # K0 is symmetric: u^T K0 == (K0 u)^T, one big MXU matmul over elements
-    fe = jnp.einsum(
-        "...i,ij->...j", ue_flat, K0.astype(ue_flat.dtype),
-        preferred_element_type=ue_flat.dtype,
-    )
-    fe = fe * young[..., None]
-    return scatter_element_forces(fe.reshape(grid.dims + (npe, N)), grid)
+    offs = local_node_offsets(grid)
+    dt = u.dtype
+    # U rows in DOF order (node-major, component-minor)
+    rows = [
+        u[_elem_slice(grid, o) + (d,)].reshape(-1)
+        for o in offs
+        for d in range(N)
+    ]
+    U = jnp.stack(rows)                                   # (dofs_pe, ne)
+    F = jnp.dot(K0.astype(dt), U, preferred_element_type=dt)
+    F = F * young.reshape(-1)[None, :]
+    F = F.reshape(npe, N, *grid.dims)
+    # scatter-add per (local node, component) into scalar node fields
+    comps = []
+    for d in range(N):
+        out_d = jnp.zeros(grid.nodes_per_dim, dtype=dt)
+        for j, o in enumerate(offs):
+            out_d = out_d.at[_elem_slice(grid, o)].add(F[j, d])
+        comps.append(out_d)
+    return jnp.stack(comps, axis=-1)
 
 
 def apply_k_cached(
@@ -127,12 +145,25 @@ def apply_k_cached(
       Ke: (dims..., dofs_pe, dofs_pe) per-element matrices.
     """
     npe, N = grid.nodes_per_elem, grid.ndim
-    ue = gather_element_displacements(u, grid).reshape(grid.dims + (npe * N,))
-    fe = jnp.einsum(
-        "...ij,...j->...i", Ke.astype(ue.dtype), ue,
-        preferred_element_type=ue.dtype,
-    )
-    return scatter_element_forces(fe.reshape(grid.dims + (npe, N)), grid)
+    offs = local_node_offsets(grid)
+    dt = u.dtype
+    rows = [
+        u[_elem_slice(grid, o) + (d,)].reshape(-1)
+        for o in offs
+        for d in range(N)
+    ]
+    U = jnp.stack(rows)                                   # (dofs_pe, ne)
+    d_pe = npe * N
+    Kef = Ke.reshape(-1, d_pe, d_pe).astype(dt)           # (ne, d, d)
+    F = jnp.einsum("eij,je->ie", Kef, U, preferred_element_type=dt)
+    F = F.reshape(npe, N, *grid.dims)
+    comps = []
+    for d in range(N):
+        out_d = jnp.zeros(grid.nodes_per_dim, dtype=dt)
+        for j, o in enumerate(offs):
+            out_d = out_d.at[_elem_slice(grid, o)].add(F[j, d])
+        comps.append(out_d)
+    return jnp.stack(comps, axis=-1)
 
 
 def node_diag_blocks(
@@ -191,11 +222,16 @@ def compliance_gradient(
     (reference: TensorProductSimulator.hh:730-751 complianceGradient)
     """
     npe, N = grid.nodes_per_elem, grid.ndim
-    ue = gather_element_displacements(u, grid).reshape(grid.dims + (npe * N,))
-    K0u = jnp.einsum(
-        "...i,ij->...j", ue, K0.astype(ue.dtype), preferred_element_type=ue.dtype
-    )
-    utku = jnp.sum(ue * K0u, axis=-1)
+    offs = local_node_offsets(grid)
+    dt = u.dtype
+    rows = [
+        u[_elem_slice(grid, o) + (d,)].reshape(-1)
+        for o in offs
+        for d in range(N)
+    ]
+    U = jnp.stack(rows)                                   # (dofs_pe, ne)
+    K0U = jnp.dot(K0.astype(dt), U, preferred_element_type=dt)
+    utku = jnp.sum(U * K0U, axis=0).reshape(grid.dims)
     return -0.5 * gamma * rho ** (gamma - 1.0) * (E0 - Emin) * utku
 
 

@@ -1,0 +1,134 @@
+"""Classic SIMP topology optimization (the reference's ground-truth path).
+
+Library equivalent of ``fem.ground_truth_topopt`` (reference:
+fem.py:20-106) + the ``training/train_voxelfem.py`` driver: smoothing +
+projection filters, total-volume constraint, MGPCG compliance objective
+(tol=1e-4, FMG, 1 MG iteration, 2 smoothing sweeps, warm-started), OC
+optimizer — the whole OC step compiled into one jitted TPU program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndr_tpu.fem import multigrid as mg
+from ndr_tpu.fem import topopt
+from ndr_tpu.fem.simulator import problem_from_config
+from ndr_tpu.io.problem import ProblemConfig, load_problem
+from ndr_tpu.ops import filters as flt
+from ndr_tpu.utils import timers
+
+
+@dataclasses.dataclass
+class ClassicResult:
+    densities: np.ndarray          # final *design* variables
+    physical: np.ndarray           # final filtered densities
+    compliance: float              # 2 * (1/2 f^T u), the reference's loss convention
+    binary_compliance: float
+    history: List[float]
+    seconds: float
+
+
+def ground_truth_topopt(
+    cfg: ProblemConfig,
+    dims=None,
+    max_iter: int = 100,
+    multigrid_levels: int = 2,
+    use_multigrid: bool = True,
+    tol: float = 1e-4,
+    smoothing_radius: int = 1,
+    projection_beta: float = 1.0,
+    oc_move: float = 0.2,
+    oc_ctol: float = 1e-6,
+    init: Optional[np.ndarray] = None,
+    log: Callable[[str], None] = lambda s: sys.stderr.write(s),
+    log_every: int = 1,
+    callback=None,
+) -> ClassicResult:
+    """Run classic SIMP TO with the OC optimizer.
+
+    Matches the reference configuration (fem.py:34-87): filter chain
+    [SmoothingFilter, ProjectionFilter], uniform init at maxVolume, MGPCG
+    tol=1e-4 / FMG / mgIterations=1 / 2 smoothing sweeps / warm start.
+    """
+    prob, grid = problem_from_config(cfg, dims=dims)
+    filters = [
+        flt.SmoothingFilter(radius=smoothing_radius),
+        flt.ProjectionFilter(beta=projection_beta),
+    ]
+    if use_multigrid:
+        settings = mg.MGSolverSettings(
+            num_levels=multigrid_levels,
+            cg_iter=100,
+            tol=tol,
+            mg_iterations=1,
+            mg_smoothing_iterations=2,
+            full_multigrid=True,
+            zero_init=False,
+        )
+        solve = mg.make_mg_solver(prob, settings)
+    else:
+        def solve(rho, u0):
+            return topopt.solve_displacement_cg(prob, rho, u0, tol=tol, max_iter=10000)
+
+    top = topopt.TopologyOptimizationProblem(
+        prob=prob, filters=filters, max_volume=cfg.max_volume, solve=solve
+    )
+
+    dtype = prob.force.dtype
+    x0 = jnp.full(grid.dims, cfg.max_volume, dtype=dtype)
+    if init is not None:
+        x0 = jnp.asarray(init, dtype=dtype).reshape(grid.dims)
+    state = topopt.oc_init(top, x0)
+
+    step = jax.jit(lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol))
+
+    history: List[float] = []
+    t_start = time.perf_counter()
+    t_iter = t_start
+    with timers.section("OC optimization"):
+        for idx in range(max_iter):
+            state, metrics = step(state)
+            c2 = 2.0 * float(metrics["compliance"])
+            history.append(c2)
+            if idx % log_every == 0 or idx == max_iter - 1:
+                dt = time.perf_counter() - t_iter
+                log(
+                    f"Total Steps: {idx}, Runtime: {dt:.2f}, Compliance loss "
+                    f"{c2:.6f}, constraint {float(metrics['constraint']):.2e}, "
+                    f"lambda {float(metrics['lambda']):.4g}, "
+                    f"cg_iters {int(metrics['cg_iters'])}\n"
+                )
+            t_iter = time.perf_counter()
+            if callback is not None:
+                callback(idx, state)
+
+    # final evaluation + binary compliance (threshold the *physical*
+    # densities at 0.5; reference: utils.compute_binary_compliance_loss)
+    rho = top.physical_density(state.x)
+    c_final, u, _ = top.objective(state.x, state.u)
+    binary = (rho > 0.5).astype(dtype)
+    u_b, _ = solve(binary, state.u)
+    c_binary = float(jnp.vdot(prob.force, u_b))
+
+    seconds = time.perf_counter() - t_start
+    log(
+        f"Final step, Compliance loss {2.0 * float(c_final):.6f}, "
+        f"Binary {c_binary:.6f}, b-vol={float(jnp.mean(binary)):.7f}\n"
+    )
+    log(f"Overall runtime: {seconds:.3f}\n")
+    return ClassicResult(
+        densities=np.asarray(state.x),
+        physical=np.asarray(rho),
+        compliance=2.0 * float(c_final),
+        binary_compliance=c_binary,
+        history=history,
+        seconds=seconds,
+    )

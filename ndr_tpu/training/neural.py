@@ -1,0 +1,227 @@
+"""Neural topology optimization: Fourier-feature MLP density fields.
+
+Library equivalent of the reference's main driver ``training/train_xdg.py``:
+coords -> FF-MLP -> volume-constraint satisfier -> (optional) filters ->
+FEM compliance (MGPCG with closed-form adjoint) -> Adam — the *entire*
+training step, neural net included, compiles into one TPU program.
+
+The reference pays a CPU round-trip per step through its pybind seam
+(fem.py VoxelFEMFunction); here the density field never leaves the chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ndr_tpu import models
+from ndr_tpu.fem import multigrid as mg
+from ndr_tpu.fem import topopt
+from ndr_tpu.fem.simulator import problem_from_config
+from ndr_tpu.io.problem import ProblemConfig
+from ndr_tpu.ops import filters as flt
+from ndr_tpu.ops import volume as vol
+
+
+def get_mgrid(sidelen: Sequence[int], domain=None, dtype=jnp.float32) -> jnp.ndarray:
+    """Coordinate grid of `sidelen` points per dim over `domain`
+    ([0,1]^N default), shape sidelen + (N,)
+    (reference: utils.py:35-53 get_mgrid / MeshGrid)."""
+    ndim = len(sidelen)
+    if domain is None:
+        domain = [(0.0, 1.0)] * ndim
+    axes = [jnp.linspace(lo, hi, n, dtype=dtype) for (lo, hi), n in zip(domain, sidelen)]
+    return jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+
+
+@dataclasses.dataclass
+class NeuralTOConfig:
+    """Hyperparameters of the neural-TO trainer (reference CLI flags,
+    train_xdg.py:34-54 + hardcoded config block :71-122)."""
+
+    embedding_size: int = 1024
+    n_neurons: int = 512
+    n_layers: int = 4
+    sigma: float = 1.0
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.0
+    volume_constraint_satisfier: str = "constrained_sigmoid"
+    scaler_constant: float = 1500.0
+    multigrid_levels: int = 2
+    cg_tol: float = 1e-4
+    cg_iter: int = 100
+    seed: int = 88
+
+
+@dataclasses.dataclass
+class NeuralTOState:
+    params: dict
+    buffers: dict
+    opt_state: tuple
+    u: jnp.ndarray                 # warm-started displacement
+    step: int
+
+
+def make_density_fn(ncfg: NeuralTOConfig, mlp_cfg: models.MLPConfig,
+                    filters: Optional[flt.AdaptiveFilterState] = None):
+    """density(params, buffers, coords) -> physical density field."""
+    hard = vol.is_hard_mode(ncfg.volume_constraint_satisfier)
+
+    def density_fn(params, buffers, coords, max_volume):
+        out = models.mlp_apply(params, buffers, coords, mlp_cfg)[..., 0]
+        if hard:
+            out = vol.satisfy_volume_constraint(
+                out, max_volume, mode=ncfg.volume_constraint_satisfier
+            )
+        else:
+            out = jnp.clip(out, 0.0, 1.0)
+        if filters is not None:
+            out = filters.apply(out)
+        return out
+
+    return density_fn, hard
+
+
+def build_trainer(
+    cfg: ProblemConfig,
+    ncfg: NeuralTOConfig,
+    dims=None,
+    filters: Optional[flt.AdaptiveFilterState] = None,
+    dtype=jnp.float32,
+):
+    """Returns (state0, jitted_step, aux) for one grid resolution."""
+    prob, grid = problem_from_config(cfg, dims=dims, dtype=dtype)
+    mlp_cfg = models.MLPConfig(
+        in_features=grid.ndim,
+        out_features=1,
+        n_neurons=ncfg.n_neurons,
+        n_layers=ncfg.n_layers,
+        embedding_size=ncfg.embedding_size,
+        scale=ncfg.sigma,
+        output_activation=None
+        if vol.is_hard_mode(ncfg.volume_constraint_satisfier)
+        else "sigmoid",
+    )
+    key = jax.random.PRNGKey(ncfg.seed)
+    params, buffers = models.init_mlp(key, mlp_cfg, dtype)
+    params = models.homogeneous_init(params, cfg.max_volume)
+
+    coords = get_mgrid(grid.dims, dtype=dtype)
+    density_fn, hard = make_density_fn(ncfg, mlp_cfg, filters)
+
+    settings = mg.MGSolverSettings(
+        num_levels=ncfg.multigrid_levels,
+        cg_iter=ncfg.cg_iter,
+        tol=ncfg.cg_tol,
+        mg_iterations=1,
+        mg_smoothing_iterations=2,
+        full_multigrid=True,
+        zero_init=False,
+    )
+    solve = mg.make_mg_solver(prob, settings)
+
+    if ncfg.weight_decay:
+        optimizer = optax.adamw(ncfg.learning_rate, weight_decay=ncfg.weight_decay)
+    else:
+        optimizer = optax.adam(ncfg.learning_rate)
+
+    max_volume = jnp.asarray(cfg.max_volume, dtype)
+
+    def loss_fn(params, buffers, u0):
+        rho = density_fn(params, buffers, coords, max_volume)
+        u, iters = solve(rho, u0)
+        u = jax.lax.stop_gradient(u)
+        c = 2.0 * topopt.compliance_with_adjoint(rho, u, prob)
+        loss = c
+        if not hard:
+            vloss = vol.satisfy_volume_constraint(
+                rho, max_volume, compliance_loss=c,
+                mode=ncfg.volume_constraint_satisfier,
+                scaler_mode="clip", constant=ncfg.scaler_constant,
+            )
+            loss = loss + vloss
+        return loss, (c, u, iters)
+
+    @jax.jit
+    def train_step(state: NeuralTOState):
+        (loss, (c, u, iters)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.buffers, state.u)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = NeuralTOState(
+            params=params, buffers=state.buffers, opt_state=opt_state,
+            u=u, step=state.step + 1,
+        )
+        metrics = {"loss": loss, "compliance": c, "cg_iters": iters}
+        return new_state, metrics
+
+    state0 = NeuralTOState(
+        params=params,
+        buffers=buffers,
+        opt_state=optimizer.init(params),
+        u=jnp.zeros_like(prob.force),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    aux = dict(
+        prob=prob, grid=grid, coords=coords, density_fn=density_fn,
+        solve=solve, mlp_cfg=mlp_cfg, optimizer=optimizer,
+    )
+    return state0, train_step, aux
+
+
+def train(
+    cfg: ProblemConfig,
+    ncfg: NeuralTOConfig,
+    dims=None,
+    max_iter: int = 100,
+    log: Callable[[str], None] = lambda s: sys.stderr.write(s),
+    log_every: int = 10,
+    checkpoint_cb=None,
+    state: Optional[NeuralTOState] = None,
+    dtype=jnp.float32,
+) -> Tuple[NeuralTOState, List[float], dict]:
+    """Single-resolution training loop (one leg of the multires loop)."""
+    state0, train_step, aux = build_trainer(cfg, ncfg, dims=dims, dtype=dtype)
+    if state is not None:
+        # resume params/opt from a previous resolution; reset u (new grid)
+        state0 = NeuralTOState(
+            params=state.params, buffers=state.buffers,
+            opt_state=state.opt_state, u=state0.u, step=state.step,
+        )
+    state = state0
+    history: List[float] = []
+    t0 = time.perf_counter()
+    for i in range(max_iter):
+        state, metrics = train_step(state)
+        c = float(metrics["compliance"])
+        history.append(c)
+        if i % log_every == 0 or i == max_iter - 1:
+            log(
+                f"Total Steps: {int(state.step)}, Compliance loss {c:.6f}, "
+                f"loss {float(metrics['loss']):.6f}, "
+                f"cg_iters {int(metrics['cg_iters'])}\n"
+            )
+        if checkpoint_cb is not None:
+            checkpoint_cb(i, state)
+    log(f"Resolution runtime: {time.perf_counter() - t0:.2f}s "
+        f"({max_iter / max(time.perf_counter() - t0, 1e-9):.2f} it/s)\n")
+    return state, history, aux
+
+
+NeuralState = NeuralTOState
+
+jax.tree_util.register_dataclass(
+    NeuralTOState,
+    data_fields=["params", "buffers", "opt_state", "u", "step"],
+    meta_fields=[],
+)

@@ -1,0 +1,88 @@
+"""Classic-SIMP CLI driver (reference: training/train_voxelfem.py).
+
+Example:
+    python -m ndr_tpu.training.train_voxelfem --prob problems/2d/mbb_beam.json \
+        --iter 1500 --mgl 2 --optim OC --jid myrun
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import sys
+
+import numpy as np
+
+from ndr_tpu.io.problem import load_problem
+from ndr_tpu.io import export
+from ndr_tpu.training.classic import ground_truth_topopt
+from ndr_tpu.utils import timers
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--jid", help="job id used to name experiment outputs", default=None)
+    p.add_argument("--grid", help='grid dims e.g. "[300, 100]"', default=None)
+    p.add_argument("--prob", help="problem JSON path", required=True)
+    p.add_argument("--v0", help="volume-fraction override", default=None)
+    p.add_argument("--mgl", help="multigrid coarsening levels", default=2, type=int)
+    p.add_argument("--iter", help="OC iterations", default=100, type=int)
+    p.add_argument("--optim", help="optimizer (OC)", default="OC")
+    p.add_argument("--x64", action="store_true", help="run in float64")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--out", help="output directory", default="logs/gt")
+    p.add_argument("--log-every", default=1, type=int)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ndr_tpu.utils.jax_setup import setup as jax_solver_setup
+    jax_solver_setup()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    cfg = load_problem(args.prob)
+    dims = ast.literal_eval(args.grid) if args.grid else None
+    if args.v0 is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, max_volume=float(args.v0))
+
+    if args.optim != "OC":
+        raise SystemExit(f"optimizer {args.optim!r} not supported (use OC)")
+
+    timers.reset()
+    result = ground_truth_topopt(
+        cfg, dims=dims, max_iter=args.iter, multigrid_levels=args.mgl,
+        log_every=args.log_every,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    title = args.jid or cfg.name
+    np.save(os.path.join(args.out, f"{title}_densities.npy"), result.densities)
+    grid = cfg.make_grid(dims)
+    export.write_vtr(
+        os.path.join(args.out, f"{title}"),
+        {"density": result.physical},
+        spacing=tuple(grid.stretchings) + (1.0,) * (3 - grid.ndim),
+    )
+    with open(os.path.join(args.out, f"{title}_history.json"), "w") as f:
+        json.dump(
+            {
+                "history": result.history,
+                "compliance": result.compliance,
+                "binary_compliance": result.binary_compliance,
+                "seconds": result.seconds,
+                "timers": timers.to_dict(),
+            },
+            f,
+        )
+    sys.stderr.write(timers.report() + "\n")
+
+
+if __name__ == "__main__":
+    main()

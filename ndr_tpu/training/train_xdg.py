@@ -1,0 +1,111 @@
+"""Neural-TO CLI driver (reference: training/train_xdg.py).
+
+Example:
+    python -m ndr_tpu.training.train_xdg --prob problems/3d/bridge.json \
+        --grid "[64, 32, 16]" --v0 0.4 --mgl 2 --sigma 1.0 --iter 100 \
+        --vcs maxed_barrier --jid test
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+from ndr_tpu.io import export
+from ndr_tpu.io.problem import load_problem
+from ndr_tpu.training import curriculum
+from ndr_tpu.training.neural import NeuralTOConfig, train
+from ndr_tpu.utils import checkpoint as ckpt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--jid", default=None, help="experiment id for output names")
+    p.add_argument("--grid", default=None, help='grid dims e.g. "[40, 20, 10]"')
+    p.add_argument("--prob", required=True, help="problem JSON")
+    p.add_argument("--v0", default=None, help="volume fraction")
+    p.add_argument("--mgl", default=2, type=int, help="multigrid levels")
+    p.add_argument("--vcs", default="maxed_barrier", help="volume constraint satisfier")
+    p.add_argument("--checkpoint", default=None, help="resume checkpoint path")
+    p.add_argument("--es", default=1024, type=int, help="Fourier embedding size")
+    p.add_argument("--nn", default=512, type=int, help="hidden width")
+    p.add_argument("--nl", default=4, type=int, help="hidden layers")
+    p.add_argument("--lr", default=3e-4, type=float)
+    p.add_argument("--iter", default=5000, type=int)
+    p.add_argument("--cs", default=100, type=int, help="checkpoints per run")
+    p.add_argument("--sigma", default=1.0, type=float, help="Fourier feature scale")
+    p.add_argument("--out", default="logs/ff")
+    p.add_argument("--x64", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--log-every", default=10, type=int)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.x64 else jnp.float32
+
+    cfg = load_problem(args.prob)
+    if args.v0 is not None:
+        cfg = dataclasses.replace(cfg, max_volume=float(args.v0))
+    dims = tuple(ast.literal_eval(args.grid)) if args.grid else cfg.grid_dims
+
+    ncfg = NeuralTOConfig(
+        embedding_size=args.es, n_neurons=args.nn, n_layers=args.nl,
+        sigma=args.sigma, learning_rate=args.lr,
+        volume_constraint_satisfier=args.vcs,
+        multigrid_levels=args.mgl, seed=cfg.seed,
+    )
+
+    np.random.seed(cfg.seed)
+    os.makedirs(args.out, exist_ok=True)
+    title = args.jid or f"{cfg.name}_s{args.sigma}"
+
+    ckp_step = max(args.iter // args.cs, 1)
+
+    def checkpoint_cb(i, state):
+        if (i + 1) % ckp_step == 0:
+            ckpt.save_checkpoint(
+                os.path.join(args.out, f"{title}_iter{i}.npz"),
+                state.params, state.buffers, ncfg.sigma,
+                step=int(state.step), opt_state=state.opt_state,
+            )
+
+    state, history, aux = train(
+        cfg, ncfg, dims=dims, max_iter=args.iter,
+        log_every=args.log_every, checkpoint_cb=checkpoint_cb, dtype=dtype,
+    )
+
+    # final artifacts: density field + history + final checkpoint
+    coords = aux["coords"]
+    rho = np.asarray(
+        aux["density_fn"](state.params, state.buffers, coords,
+                          jnp.asarray(cfg.max_volume, dtype))
+    )
+    np.save(os.path.join(args.out, f"{title}_densities.npy"), rho)
+    grid = aux["grid"]
+    export.write_vtr(
+        os.path.join(args.out, title), {"density": rho},
+        spacing=tuple(grid.stretchings) + (1.0,) * (3 - grid.ndim),
+    )
+    ckpt.save_checkpoint(
+        os.path.join(args.out, f"{title}.npz"),
+        state.params, state.buffers, ncfg.sigma,
+        step=int(state.step), opt_state=state.opt_state,
+    )
+    with open(os.path.join(args.out, f"{title}_history.json"), "w") as f:
+        json.dump({"history": history}, f)
+
+
+if __name__ == "__main__":
+    main()

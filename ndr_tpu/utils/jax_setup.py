@@ -1,0 +1,41 @@
+"""JAX runtime setup helpers (compilation cache, platform selection)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_CACHE_DIR = os.environ.get(
+    "NDR_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/ndr_tpu_xla")
+)
+
+
+def setup(cache_dir: str = None, matmul_precision: str = "highest"):
+    """Standard runtime setup for solver workloads.
+
+    * persistent compilation cache (TPU compiles are expensive);
+    * full-fp32 matmul precision: TPU fp32 dots default to one-pass bf16
+      multiplication, which stalls CG below ~1e-3 relative residual and
+      makes the coarse-level Cholesky produce NaNs — the solver needs
+      true fp32 (bf16x3) contraction accuracy.
+    """
+    jax.config.update("jax_default_matmul_precision", matmul_precision)
+    return enable_compilation_cache(cache_dir)
+
+
+def enable_compilation_cache(cache_dir: str = None):
+    """Persist compiled XLA executables across processes.
+
+    TPU compiles of the fused solver step are expensive; the cache makes
+    every run after the first start instantly for a given grid shape.
+    """
+    cache_dir = cache_dir or _CACHE_DIR
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    return cache_dir
