@@ -553,6 +553,17 @@ class MGSolverSettings:
     # "chebyshev" = TPU-fast polynomial smoother (1 apply per degree)
     smoother: str = "gs"
     cheb_degree: int = 2
+    # Mixed-precision iterative refinement (float32 problems only): the
+    # TO systems are too ill-conditioned for a pure-fp32 residual — with
+    # |u| ~ 1e3-1e4 the fp32 matvec's rounding noise exceeds the 1e-4
+    # force-residual target, silently stalling CG several percent away
+    # from equilibrium. The fix: measure the TRUE residual in float64
+    # (~5x an fp32 apply on TPU, used once per refinement), solve the
+    # correction system in fp32 MGPCG, and accumulate u in float64.
+    # Requires jax x64 mode (ndr_tpu.utils.jax_setup.setup enables it).
+    mixed_precision: bool = True
+    max_refinements: int = 6
+    inner_tol: float = 3e-3
 
 
 def mgpcg_solve(
@@ -567,8 +578,16 @@ def mgpcg_solve(
     Rebuilds the Galerkin hierarchy for the given densities, factors the
     coarsest level, then runs the MG-preconditioned CG from the warm start
     (reference: MultigridComplianceObjective::updateCache +
-    preconditionedConjugateGradient).
+    preconditionedConjugateGradient). For float32 problems with
+    ``settings.mixed_precision`` the solve runs as float64 iterative
+    refinement around the fp32 MGPCG (see MGSolverSettings).
     """
+    if (
+        settings.mixed_precision
+        and prob.force.dtype == jnp.float32
+        and jax.config.jax_enable_x64
+    ):
+        return _mgpcg_solve_refined(cfg, prob, rho, u0, settings)
     young = prob.young(rho)
     levels = build_level_states(cfg, prob, young, smoother=settings.smoother)
     chol = factor_coarsest(levels)
@@ -594,6 +613,81 @@ def mgpcg_solve(
     return solvers.conjugate_gradient(
         apply_a, b, u0, tol=settings.tol, max_iter=settings.cg_iter, precond=precond
     )
+
+
+def _mgpcg_solve_refined(
+    cfg: MGConfig,
+    prob: FEMProblem,
+    rho: jnp.ndarray,
+    u0: Optional[jnp.ndarray],
+    settings: MGSolverSettings,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Float64 iterative refinement around the fp32 MGPCG.
+
+    Outer loop (float64): r = b - K u computed with an exact-operator
+    float64 apply; stop when ||r|| <= tol * ||b|| — the same physically
+    meaningful criterion as the reference (MultigridSolver.hh:704-708),
+    now measured on the *true* residual. Inner loop: fp32 MGPCG on the
+    correction system to `inner_tol` relative reduction.
+    """
+    f32, f64 = jnp.float32, jnp.float64
+    young32 = prob.young(rho).astype(f32)
+    levels = build_level_states(cfg, prob, young32, smoother=settings.smoother)
+    chol = factor_coarsest(levels)
+    lv0 = levels[0]
+
+    K0_64 = jnp.asarray(np.asarray(cfg.K0), f64)
+    young64 = ops.element_young_modulus(
+        rho.astype(f64), prob.E0, prob.Emin, prob.gamma
+    )
+
+    def zero_d64(v):
+        return jnp.where(lv0.dirichlet_mask, 0.0, v)
+
+    def residual64(u):
+        return zero_d64(
+            prob.force.astype(f64) - ops.apply_k(u, young64, K0_64, lv0.grid)
+        )
+
+    def apply_a32(v):
+        return _zero_dirichlet(lv0, _apply_k_level(lv0, _zero_dirichlet(lv0, v)))
+
+    def precond32(r):
+        s = mg_preconditioner(
+            levels, chol, r, settings.mg_iterations,
+            settings.mg_smoothing_iterations, settings.full_multigrid,
+            settings.smoother, settings.cheb_degree,
+        )
+        return _zero_dirichlet(lv0, s)
+
+    b64 = zero_d64(prob.force.astype(f64))
+    b_norm = jnp.linalg.norm(b64.reshape(-1))
+    if u0 is None or settings.zero_init:
+        u = jnp.zeros(b64.shape, f64)
+    else:
+        u = zero_d64(u0.astype(f64))
+
+    def cond(state):
+        u, r, total_iters, k = state
+        return (k < settings.max_refinements) & (
+            jnp.linalg.norm(r.reshape(-1)) > settings.tol * b_norm
+        )
+
+    def body(state):
+        u, r, total_iters, k = state
+        e32, iters = solvers.conjugate_gradient(
+            apply_a32, r.astype(f32), jnp.zeros(r.shape, f32),
+            tol=settings.inner_tol, max_iter=settings.cg_iter,
+            precond=precond32,
+        )
+        u = u + e32.astype(f64)
+        return u, residual64(u), total_iters + iters, k + 1
+
+    r0 = residual64(u)
+    u, r, total_iters, k = jax.lax.while_loop(
+        cond, body, (u, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    )
+    return u, total_iters
 
 
 def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):

@@ -70,13 +70,22 @@ def build_problem(
     gamma: float = 3.0,
     dtype=None,
 ) -> FEMProblem:
-    """Assemble a FEMProblem from geometry, material, and nodal BCs."""
+    """Assemble a FEMProblem from geometry, material, and nodal BCs.
+
+    NOTE: K0 is always kept in float64 (when x64 is enabled). Rounding
+    K0 to float32 perturbs away the element matrix's exact rigid-body
+    null space, and smooth deformation modes amplify that ~5e-8
+    perturbation by ~1e5x into percent-level compliance errors; every
+    consumer casts K0 down to its working dtype itself, and the
+    mixed-precision refinement measures residuals against the true
+    float64 operator.
+    """
     dtype = dtype or jnp.zeros(0).dtype  # respect x64 setting by default
     K0 = el.element_stiffness_matrix(
         tuple([grid.degree] * grid.ndim), grid.stretchings, material
     )
     return FEMProblem(
-        K0=jnp.asarray(K0, dtype=dtype),
+        K0=jnp.asarray(K0),
         dirichlet_mask=jnp.asarray(bcs.dirichlet_mask),
         force=jnp.asarray(bcs.force, dtype=dtype),
         grid=grid,

@@ -166,10 +166,14 @@ class OCState:
     lambda_max: jnp.ndarray
 
 
-def oc_init(top: TopologyOptimizationProblem, x0: jnp.ndarray) -> OCState:
+def oc_init(top: TopologyOptimizationProblem, x0: jnp.ndarray,
+            u_dtype=None) -> OCState:
+    """`u_dtype` should match the solver's output dtype (float64 for the
+    mixed-precision MGPCG) so the carried warm start doesn't retrace."""
+    u_dtype = u_dtype or top.prob.force.dtype
     return OCState(
         x=x0,
-        u=jnp.zeros_like(top.prob.force),
+        u=jnp.zeros(top.prob.force.shape, u_dtype),
         lambda_min=jnp.asarray(1.0, x0.dtype),
         lambda_max=jnp.asarray(2.0, x0.dtype),
     )

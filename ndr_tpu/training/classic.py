@@ -51,6 +51,7 @@ def ground_truth_topopt(
     log: Callable[[str], None] = lambda s: sys.stderr.write(s),
     log_every: int = 1,
     callback=None,
+    dtype=None,
 ) -> ClassicResult:
     """Run classic SIMP TO with the OC optimizer.
 
@@ -58,11 +59,14 @@ def ground_truth_topopt(
     [SmoothingFilter, ProjectionFilter], uniform init at maxVolume, MGPCG
     tol=1e-4 / FMG / mgIterations=1 / 2 smoothing sweeps / warm start.
     """
-    prob, grid = problem_from_config(cfg, dims=dims)
+    # default: fp32 hot path with float64 refined equilibrium (fast on TPU)
+    dtype = dtype or jnp.float32
+    prob, grid = problem_from_config(cfg, dims=dims, dtype=dtype)
     filters = [
         flt.SmoothingFilter(radius=smoothing_radius),
         flt.ProjectionFilter(beta=projection_beta),
     ]
+    mixed = False
     if use_multigrid:
         settings = mg.MGSolverSettings(
             num_levels=multigrid_levels,
@@ -74,6 +78,12 @@ def ground_truth_topopt(
             zero_init=False,
         )
         solve = mg.make_mg_solver(prob, settings)
+        import jax as _jax
+        mixed = (
+            settings.mixed_precision
+            and dtype == jnp.float32
+            and _jax.config.jax_enable_x64
+        )
     else:
         def solve(rho, u0):
             return topopt.solve_displacement_cg(prob, rho, u0, tol=tol, max_iter=10000)
@@ -82,11 +92,10 @@ def ground_truth_topopt(
         prob=prob, filters=filters, max_volume=cfg.max_volume, solve=solve
     )
 
-    dtype = prob.force.dtype
     x0 = jnp.full(grid.dims, cfg.max_volume, dtype=dtype)
     if init is not None:
         x0 = jnp.asarray(init, dtype=dtype).reshape(grid.dims)
-    state = topopt.oc_init(top, x0)
+    state = topopt.oc_init(top, x0, u_dtype=jnp.float64 if mixed else dtype)
 
     step = jax.jit(lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol))
 

@@ -165,11 +165,16 @@ def build_trainer(
         metrics = {"loss": loss, "compliance": c, "cg_iters": iters}
         return new_state, metrics
 
+    mixed = (
+        settings.mixed_precision
+        and dtype == jnp.float32
+        and jax.config.jax_enable_x64
+    )
     state0 = NeuralTOState(
         params=params,
         buffers=buffers,
         opt_state=optimizer.init(params),
-        u=jnp.zeros_like(prob.force),
+        u=jnp.zeros(prob.force.shape, jnp.float64 if mixed else dtype),
         step=jnp.asarray(0, jnp.int32),
     )
     aux = dict(

@@ -18,9 +18,13 @@ def setup(cache_dir: str = None, matmul_precision: str = "highest"):
     * full-fp32 matmul precision: TPU fp32 dots default to one-pass bf16
       multiplication, which stalls CG below ~1e-3 relative residual and
       makes the coarse-level Cholesky produce NaNs — the solver needs
-      true fp32 (bf16x3) contraction accuracy.
+      true fp32 (bf16x3) contraction accuracy;
+    * x64 mode: the solvers keep their hot path in explicit float32 but
+      accumulate equilibrium displacements in float64 (mixed-precision
+      iterative refinement, see fem.multigrid.MGSolverSettings).
     """
     jax.config.update("jax_default_matmul_precision", matmul_precision)
+    jax.config.update("jax_enable_x64", True)
     return enable_compilation_cache(cache_dir)
 
 
