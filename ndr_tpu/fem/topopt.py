@@ -94,8 +94,11 @@ def _compliance_fwd(rho, u, prob):
 
 def _compliance_bwd(prob, res, g):
     rho, u = res
-    grad = prob.compliance_gradient(u, rho)
-    return (g * grad, jnp.zeros_like(u))
+    # the adjoint gradient only needs the working precision of rho —
+    # cast u down so the (hot) gradient einsums stay in fp32 even when
+    # the mixed-precision solver hands back a float64 equilibrium
+    grad = prob.compliance_gradient(u.astype(rho.dtype), rho)
+    return ((g * grad).astype(rho.dtype), jnp.zeros_like(u))
 
 
 compliance_with_adjoint.defvjp(_compliance_fwd, _compliance_bwd)
