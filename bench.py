@@ -30,7 +30,7 @@ def main():
     from ndr_tpu.ops import filters as flt
 
     cfg = load_problem("problems/2d/mbb_beam.json")
-    prob, grid = problem_from_config(cfg)
+    prob, grid = problem_from_config(cfg, dtype=jnp.float32)
     settings = mg.MGSolverSettings(
         num_levels=2, cg_iter=100, tol=1e-4,
         mg_iterations=1, mg_smoothing_iterations=2, full_multigrid=True,

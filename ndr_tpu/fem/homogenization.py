@@ -169,7 +169,7 @@ def solve_cell_problems(
     blocks = periodic_fold(
         blocks_full.reshape(blocks_full.shape[:-2] + (-1,)), grid.ndim
     ).reshape((-1,) + blocks_full.shape[-2:])
-    inv = jnp.linalg.inv(blocks).reshape(
+    inv = ops.invert_blocks(blocks).reshape(
         tuple(grid.dims) + (grid.ndim, grid.ndim)
     )
 

@@ -384,7 +384,7 @@ def build_level_states(
         )
     if smoother == "chebyshev":
         for lv in states:
-            lv.Dinv = jnp.linalg.inv(lv.Minv_rows)
+            lv.Dinv = ops.invert_blocks(lv.Minv_rows)
             lv.lmax = _estimate_lmax(lv, power_iters)
     return states
 

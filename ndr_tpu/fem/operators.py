@@ -199,6 +199,44 @@ def node_diag_blocks_cached(Ke: jnp.ndarray, grid: Grid) -> jnp.ndarray:
     return out
 
 
+def invert_blocks(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched 2x2 / 3x3 SPD blocks (..., N, N).
+
+    Avoids jnp.linalg.inv, whose LU lowering has no float64 TPU kernel
+    and is needlessly slow for tiny fixed-size blocks."""
+    n = M.shape[-1]
+    if n == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, d = M[..., 1, 0], M[..., 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack(
+            [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
+        )
+        return inv / det[..., None, None]
+    if n == 3:
+        m = [[M[..., i, j] for j in range(3)] for i in range(3)]
+        c00 = m[1][1] * m[2][2] - m[1][2] * m[2][1]
+        c01 = m[0][2] * m[2][1] - m[0][1] * m[2][2]
+        c02 = m[0][1] * m[1][2] - m[0][2] * m[1][1]
+        c10 = m[1][2] * m[2][0] - m[1][0] * m[2][2]
+        c11 = m[0][0] * m[2][2] - m[0][2] * m[2][0]
+        c12 = m[0][2] * m[1][0] - m[0][0] * m[1][2]
+        c20 = m[1][0] * m[2][1] - m[1][1] * m[2][0]
+        c21 = m[0][1] * m[2][0] - m[0][0] * m[2][1]
+        c22 = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+        det = m[0][0] * c00 + m[0][1] * c10 + m[0][2] * c20
+        inv = jnp.stack(
+            [
+                jnp.stack([c00, c01, c02], -1),
+                jnp.stack([c10, c11, c12], -1),
+                jnp.stack([c20, c21, c22], -1),
+            ],
+            -2,
+        )
+        return inv / det[..., None, None]
+    raise NotImplementedError(f"block size {n}")
+
+
 def zero_dirichlet(u: jnp.ndarray, dirichlet_mask: jnp.ndarray) -> jnp.ndarray:
     """Zero out Dirichlet-constrained components.
 

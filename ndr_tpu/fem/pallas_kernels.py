@@ -1,0 +1,187 @@
+"""Pallas TPU kernels for the hot stiffness operator.
+
+The XLA path (ndr_tpu.fem.operators.apply_k) materializes the
+(dofs_pe x num_elements) gathered-displacement and per-element-force
+intermediates in HBM — ~25x the traffic of the fields themselves. This
+kernel fuses gather -> elementwise K0 contraction -> scatter into one
+VMEM pass over x-slabs of the grid:
+
+  * displacement components are passed as separate scalar fields (SoA)
+    kept in HBM (`memory_space=ANY`) and DMA'd per slab *with their
+    one-plane halo* — overlapping reads that BlockSpecs cannot express;
+  * the per-element contraction runs as an unrolled sum of
+    scalar-coefficient multiply-adds over the slab (VPU work at full
+    lane width; the K0 entries are compile-time constants);
+  * each slab writes its partial nodal forces (including both boundary
+    planes); adjacent slabs' shared planes are summed by a cheap
+    epilogue outside the kernel.
+
+Degree-1 elements (the reference's production configuration,
+VoxelFEM.cc:226-228 instantiates degrees (1,1) and (1,1,1) only).
+(reference hot loop: TensorProductSimulator::applyK,
+TensorProductSimulator.hh:905-952)
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ndr_tpu.grid import Grid
+
+
+def _pick_slab(nx: int, target: int = 8) -> int:
+    """Largest divisor of nx not exceeding `target`."""
+    for t in range(min(target, nx), 0, -1):
+        if nx % t == 0:
+            return t
+    return 1
+
+
+def _kernel_body(ndim, npe, T, K0r, rest_nodes, u_refs, e_ref, out_refs,
+                 u_slabs, sem):
+    """One x-slab: DMA the halo'd u slab, contract, write partial forces."""
+    i = pl.program_id(0)
+    # ---- DMA u components for this slab (T+1 node planes) --------------
+    for d in range(ndim):
+        cp = pltpu.make_async_copy(
+            u_refs[d].at[pl.ds(i * T, T + 1)], u_slabs[d], sem.at[d]
+        )
+        cp.start()
+    for d in range(ndim):
+        pltpu.make_async_copy(
+            u_refs[d].at[pl.ds(i * T, T + 1)], u_slabs[d], sem.at[d]
+        ).wait()
+
+    E = e_ref[...]  # (T, rest_elems...) element moduli of this slab
+
+    offs = list(itertools.product((0, 1), repeat=ndim))
+
+    def u_at(b, d):
+        """Displacement component d at local node b for every element."""
+        o = offs[b]
+        idx = (pl.ds(o[0], T),) + tuple(
+            pl.ds(o[k], rest_nodes[k - 1] - 1) for k in range(1, ndim)
+        )
+        return u_slabs[d][idx]
+
+    # cache the 2^N * N shifted element views once
+    u_views = [[u_at(b, d) for d in range(ndim)] for b in range(npe)]
+
+    for a in range(npe):            # output local node
+        oa = offs[a]
+        out_idx = (pl.ds(oa[0], T),) + tuple(
+            pl.ds(oa[k], rest_nodes[k - 1] - 1) for k in range(1, ndim)
+        )
+        for c in range(ndim):       # output component
+            acc = None
+            for b in range(npe):
+                for d in range(ndim):
+                    k = float(K0r[a, c, b, d])
+                    if k == 0.0:
+                        continue
+                    term = k * u_views[b][d]
+                    acc = term if acc is None else acc + term
+            contrib = E * acc
+            cur = out_refs[c][out_idx]
+            out_refs[c][out_idx] = cur + contrib
+
+
+def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int):
+    """Returns per-component partial forces of shape (nslabs, T+1, rest...)."""
+    ndim = grid.ndim
+    npe = grid.nodes_per_elem
+    nx = grid.dims[0]
+    nslabs = nx // T
+    rest_elems = grid.dims[1:]
+    rest_nodes = tuple(n + 1 for n in rest_elems)
+    dt = u_comps[0].dtype
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nslabs, T + 1) + rest_nodes, dt)
+        for _ in range(ndim)
+    ]
+
+    kernel = functools.partial(
+        _kernel_body, ndim, npe, T, np.asarray(K0r), rest_nodes
+    )
+
+    def wrapped(*refs):
+        u_refs = refs[:ndim]
+        e_ref = refs[ndim]
+        out_refs = refs[ndim + 1: 2 * ndim + 1]
+        scratch = refs[2 * ndim + 1:]
+        u_slabs, sem = scratch[:-1], scratch[-1]
+        # zero-init outputs (grid dim iterates slabs; each block fresh)
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
+        kernel(u_refs, e_ref, out_refs, u_slabs, sem)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nslabs,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * ndim     # u comps (HBM)
+            + [
+                pl.BlockSpec(
+                    (T,) + rest_elems,
+                    lambda i: (i,) + (0,) * (ndim - 1),
+                )
+            ]
+        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, T + 1) + rest_nodes,
+                lambda i: (i,) + (0,) * ndim,
+            )
+            for _ in range(ndim)
+        ],
+        scratch_shapes=[pltpu.VMEM((T + 1,) + rest_nodes, dt) for _ in range(ndim)]
+        + [pltpu.SemaphoreType.DMA((ndim,))],
+    )
+
+    outs = pl.pallas_call(
+        wrapped,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+    )(*u_comps, young)
+    return outs
+
+
+def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
+                   slab: int = 8) -> jnp.ndarray:
+    """Fused matrix-free stiffness apply (TPU Pallas path).
+
+    Drop-in equivalent of :func:`ndr_tpu.fem.operators.apply_k` for
+    degree-1 grids whose leading dimension divides by `slab`.
+    """
+    if grid.degree != 1:
+        raise NotImplementedError("pallas applyK supports degree-1 elements")
+    ndim = grid.ndim
+    npe = grid.nodes_per_elem
+    T = _pick_slab(grid.dims[0], slab)
+    dt = u.dtype
+    K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
+
+    u_comps = [jnp.ascontiguousarray(u[..., d]) for d in range(ndim)]
+    outs = _apply_k_pallas_partial(u_comps, young.astype(dt), K0r, grid, T)
+
+    # epilogue: stitch slabs, summing the shared boundary planes
+    nslabs = grid.dims[0] // T
+    comps = []
+    for d in range(ndim):
+        partial = outs[d]  # (nslabs, T+1, rest_nodes...)
+        body = partial[:, :T].reshape((nslabs * T,) + partial.shape[2:])
+        # add each slab's last plane onto the next slab's first plane
+        last = partial[:, T]                 # (nslabs, rest...)
+        full = jnp.concatenate([body, last[-1][None]], axis=0)
+        full = full.at[T::T].add(last[:-1]) if nslabs > 1 else full
+        comps.append(full)
+    return jnp.stack(comps, axis=-1)

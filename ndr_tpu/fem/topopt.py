@@ -37,7 +37,7 @@ def block_jacobi_preconditioner(prob: FEMProblem, rho: jnp.ndarray):
     """Per-node NxN block-diagonal preconditioner M^-1 (plain-CG helper)."""
     young = prob.young(rho)
     blocks = ops.node_diag_blocks(young, prob.K0, prob.grid)
-    inv = jnp.linalg.inv(blocks)
+    inv = ops.invert_blocks(blocks)
 
     def apply(r):
         s = jnp.einsum("...ij,...j->...i", inv, r)

@@ -176,7 +176,7 @@ def make_sharded_cg(sg: ShardedGrid, prob: FEMProblem, tol: float,
         blocks = halo_sum_forces(blocks.reshape(blocks.shape[:-2] + (-1,))).reshape(
             blocks.shape
         )
-        inv = jnp.linalg.inv(blocks)
+        inv = ops.invert_blocks(blocks)
 
         def precond(r):
             return zero_d(jnp.einsum("...ij,...j->...i", inv, r))
