@@ -77,7 +77,8 @@ def _kernel_body(ndim, npe, T, K0r, rest_nodes, u_refs, e_ref, out_refs,
 
     for a in range(npe):            # output local node
         oa = offs[a]
-        out_idx = (pl.ds(oa[0], T),) + tuple(
+        # out blocks carry a leading slab axis of extent 1
+        out_idx = (0, pl.ds(oa[0], T)) + tuple(
             pl.ds(oa[k], rest_nodes[k - 1] - 1) for k in range(1, ndim)
         )
         for c in range(ndim):       # output component
@@ -94,7 +95,8 @@ def _kernel_body(ndim, npe, T, K0r, rest_nodes, u_refs, e_ref, out_refs,
             out_refs[c][out_idx] = cur + contrib
 
 
-def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int):
+def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
+                            interpret: bool = False):
     """Returns per-component partial forces of shape (nslabs, T+1, rest...)."""
     ndim = grid.ndim
     npe = grid.nodes_per_elem
@@ -151,12 +153,13 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int):
         wrapped,
         out_shape=out_shape,
         grid_spec=grid_spec,
+        interpret=interpret,
     )(*u_comps, young)
     return outs
 
 
 def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
-                   slab: int = 8) -> jnp.ndarray:
+                   slab: int = 8, interpret: bool = False) -> jnp.ndarray:
     """Fused matrix-free stiffness apply (TPU Pallas path).
 
     Drop-in equivalent of :func:`ndr_tpu.fem.operators.apply_k` for
@@ -170,8 +173,9 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
     dt = u.dtype
     K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
 
-    u_comps = [jnp.ascontiguousarray(u[..., d]) for d in range(ndim)]
-    outs = _apply_k_pallas_partial(u_comps, young.astype(dt), K0r, grid, T)
+    u_comps = [u[..., d] for d in range(ndim)]
+    outs = _apply_k_pallas_partial(u_comps, young.astype(dt), K0r, grid, T,
+                                   interpret=interpret)
 
     # epilogue: stitch slabs, summing the shared boundary planes
     nslabs = grid.dims[0] // T
@@ -182,6 +186,9 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
         # add each slab's last plane onto the next slab's first plane
         last = partial[:, T]                 # (nslabs, rest...)
         full = jnp.concatenate([body, last[-1][None]], axis=0)
-        full = full.at[T::T].add(last[:-1]) if nslabs > 1 else full
+        if nslabs > 1:
+            # interior shared planes: slab i's last plane adds onto
+            # slab i+1's first plane (rows T, 2T, ..., (nslabs-1)T)
+            full = full.at[T: nslabs * T: T].add(last[:-1])
         comps.append(full)
     return jnp.stack(comps, axis=-1)

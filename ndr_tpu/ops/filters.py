@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -168,6 +168,21 @@ def apply_filter_chain(x: jnp.ndarray, filters: Sequence[Filter]) -> jnp.ndarray
     for f in filters:
         x = f.apply(x)
     return x
+
+
+
+
+@dataclasses.dataclass
+class CallbackFilter(Filter):
+    """Escape-hatch filter wrapping an arbitrary differentiable callable
+    (reference: PythonFilter, TopologyOptimizationFilter.hh:81-103 — the
+    reference needs explicit apply/backprop callbacks; here any JAX-
+    traceable function gets its adjoint from AD automatically)."""
+
+    fn: Callable = None
+
+    def apply(self, x):
+        return self.fn(x)
 
 
 # ---------------------------------------------------------------------------

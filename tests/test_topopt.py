@@ -136,3 +136,20 @@ def test_oc_tiny_2d_run():
     # objective decreased substantially from the uniform design
     assert history[-1] < history[0]
     assert 0.0 <= float(state.x.min()) and float(state.x.max()) <= 1.0
+
+
+def test_lbfgs_optimizer_decreases_compliance():
+    """Projected L-BFGS path (IPOPT-LBFGS replacement): monotone decrease,
+    volume constraint exactly feasible (reference: fem.py:89-95)."""
+    from ndr_tpu.ops import lbfgs
+
+    top, cfg = _make_top(
+        "problems/2d/mbb_beam.json", (24, 8),
+        (flt.SmoothingFilter(radius=1), flt.ProjectionFilter(beta=1.0)),
+    )
+    x0 = jnp.full(top.prob.grid.dims, cfg.max_volume)
+    res = lbfgs.lbfgs_topopt(top, x0, max_iter=25, step_size=0.01,
+                             log=lambda s: None)
+    assert all(b <= a + 1e-9 for a, b in zip(res.history, res.history[1:]))
+    assert res.history[-1] < 0.8 * res.history[0]
+    assert float(np.mean(res.x)) <= cfg.max_volume + 1e-6
