@@ -68,13 +68,22 @@ def fourier_encode(x: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
-def mlp_apply(params, buffers, x: jnp.ndarray, cfg: MLPConfig) -> jnp.ndarray:
-    """Forward pass. x: (..., in_features) -> (..., out_features)."""
+def mlp_apply(params, buffers, x: jnp.ndarray, cfg: MLPConfig,
+              activation_masks=None) -> jnp.ndarray:
+    """Forward pass. x: (..., in_features) -> (..., out_features).
+
+    `activation_masks` (optional): per-hidden-layer keep masks for
+    continual-learning gated activations — fixed per task, zeroing a
+    random fraction of each hidden layer's outputs (reference:
+    networks.py:209-234 register_gated_activations via forward hooks).
+    """
     h = fourier_encode(x, buffers["B"])
     layers = params["layers"]
     for i, lyr in enumerate(layers):
         h = h @ lyr["w"].T + lyr["b"]
         if i < len(layers) - 1:
+            if activation_masks is not None:
+                h = h * activation_masks[i].astype(h.dtype)
             h = jax.nn.relu(h)
     if cfg.output_activation == "sigmoid":
         h = jax.nn.sigmoid(h)

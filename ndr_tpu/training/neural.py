@@ -223,6 +223,40 @@ def train(
     return state, history, aux
 
 
+def train_multires(
+    cfg: ProblemConfig,
+    ncfg: NeuralTOConfig,
+    base_dims,
+    resolution_deltas,
+    epoch_sizes,
+    log: Callable[[str], None] = lambda s: sys.stderr.write(s),
+    log_every: int = 10,
+    dtype=jnp.float32,
+):
+    """Multiresolution curriculum: re-train the same network across a
+    schedule of grid resolutions (the mesh-independence training loop,
+    reference: train_xdg.py:234-331 — fresh simulator/solver per
+    resolution, model + optimizer state carried through).
+
+    `resolution_deltas` are per-resolution increments added to
+    `base_dims` scaled by the domain aspect (reference:
+    train_xdg.py:238: dims = base + delta * domainCorners[1]).
+    """
+    aspect = np.asarray(cfg.domain_corners[1])
+    state = None
+    history_all = []
+    aux = None
+    for idx, delta in enumerate(resolution_deltas):
+        dims = tuple(int(d) for d in np.asarray(base_dims) + delta * aspect)
+        log(f"New resolution within multires loop: {dims}\n")
+        state, history, aux = train(
+            cfg, ncfg, dims=dims, max_iter=int(epoch_sizes[idx]),
+            log=log, log_every=log_every, state=state, dtype=dtype,
+        )
+        history_all.extend(history)
+    return state, history_all, aux
+
+
 NeuralState = NeuralTOState
 
 jax.tree_util.register_dataclass(
