@@ -172,3 +172,28 @@ def test_mgpcg_iteration_count_envelope():
     )
     rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(prob.zero_dirichlet(prob.force)))
     assert rel <= 1e-4
+
+
+def test_color_masks_partition_grid():
+    """Parity-color classes tile the node grid exactly once, and nodes of
+    one color never share an element (the smoother's race-freedom
+    invariant; reference: debugMulticolorVisit, MultigridSolver.hh:328-334)."""
+    for dims in [(6, 4), (4, 4, 2)]:
+        from ndr_tpu.grid import make_grid
+
+        grid = make_grid(dims)
+        masks = mg._parity_color_masks(grid)
+        # exact partition
+        np.testing.assert_array_equal(masks.sum(axis=0), 1)
+        # independence: same-color nodes are >= 2 apart in some... in every
+        # shared-element sense: their infinity-distance is >= 2
+        ndim = grid.ndim
+        for m in masks:
+            idx = np.argwhere(m)
+            if len(idx) < 2:
+                continue
+            # nearest same-color neighbor along each axis is 2 away
+            for d in range(ndim):
+                ax = np.unique(idx[:, d])
+                if len(ax) > 1:
+                    assert np.diff(ax).min() >= 2
