@@ -308,10 +308,14 @@ class LevelState:
     K0: Optional[jnp.ndarray]           # level 0 only
     Dinv: Optional[jnp.ndarray] = None  # inverse diag blocks (chebyshev)
     lmax: Optional[jnp.ndarray] = None  # est. top eigenvalue of Dinv K
+    use_pallas: bool = False            # fused Pallas applyK (level 0)
 
 
 def _apply_k_level(lv: LevelState, u: jnp.ndarray) -> jnp.ndarray:
     if lv.Ke is None:
+        if lv.use_pallas:
+            from ndr_tpu.fem import pallas_kernels as pk
+            return pk.apply_k_pallas(u, lv.young, lv.K0, lv.grid)
         return ops.apply_k(u, lv.young, lv.K0, lv.grid)
     return ops.apply_k_cached(u, lv.Ke, lv.grid)
 
@@ -360,7 +364,7 @@ def gs_sweep(lv: LevelState, u, b, forward: bool = True):
 
 def build_level_states(
     cfg: MGConfig, prob: FEMProblem, young: jnp.ndarray,
-    smoother: str = "gs", power_iters: int = 8,
+    smoother: str = "gs", power_iters: int = 8, use_pallas: bool = False,
 ) -> List[LevelState]:
     Kes = build_level_stiffness(cfg, young) if cfg.num_levels > 1 else []
     states = []
@@ -380,6 +384,7 @@ def build_level_states(
                 Ke=Ke,
                 Minv_rows=M,
                 K0=jnp.asarray(cfg.K0, dtype=young.dtype) if l == 0 else None,
+                use_pallas=use_pallas and l == 0,
             )
         )
     if smoother == "chebyshev":
@@ -564,6 +569,8 @@ class MGSolverSettings:
     mixed_precision: bool = True
     max_refinements: int = 6
     inner_tol: float = 3e-3
+    # fused Pallas stiffness apply on the fine level (TPU only)
+    use_pallas: bool = False
 
 
 def mgpcg_solve(
@@ -589,7 +596,8 @@ def mgpcg_solve(
     ):
         return _mgpcg_solve_refined(cfg, prob, rho, u0, settings)
     young = prob.young(rho)
-    levels = build_level_states(cfg, prob, young, smoother=settings.smoother)
+    levels = build_level_states(cfg, prob, young, smoother=settings.smoother,
+                                use_pallas=settings.use_pallas)
     chol = factor_coarsest(levels)
 
     def apply_a(u):
@@ -632,7 +640,8 @@ def _mgpcg_solve_refined(
     """
     f32, f64 = jnp.float32, jnp.float64
     young32 = prob.young(rho).astype(f32)
-    levels = build_level_states(cfg, prob, young32, smoother=settings.smoother)
+    levels = build_level_states(cfg, prob, young32, smoother=settings.smoother,
+                                use_pallas=settings.use_pallas)
     chol = factor_coarsest(levels)
     lv0 = levels[0]
 
