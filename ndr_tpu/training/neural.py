@@ -193,10 +193,12 @@ def train(
     log_every: int = 10,
     checkpoint_cb=None,
     state: Optional[NeuralTOState] = None,
+    filters: Optional[flt.AdaptiveFilterState] = None,
     dtype=jnp.float32,
 ) -> Tuple[NeuralTOState, List[float], dict]:
     """Single-resolution training loop (one leg of the multires loop)."""
-    state0, train_step, aux = build_trainer(cfg, ncfg, dims=dims, dtype=dtype)
+    state0, train_step, aux = build_trainer(cfg, ncfg, dims=dims,
+                                            filters=filters, dtype=dtype)
     if state is not None:
         # resume params/opt from a previous resolution; reset u (new grid)
         state0 = NeuralTOState(
