@@ -45,6 +45,10 @@ def _pick_slab(nx: int, target: int = 8) -> int:
     return 1
 
 
+def _pad_to_multiple(nx: int, m: int) -> int:
+    return (-nx) % m
+
+
 def _kernel_body(ndim, npe, T, K0r, rest_nodes, u_refs, e_ref, out_refs,
                  u_slabs, sem):
     """One x-slab: DMA the halo'd u slab, contract, write partial forces."""
@@ -169,9 +173,19 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
         raise NotImplementedError("pallas applyK supports degree-1 elements")
     ndim = grid.ndim
     npe = grid.nodes_per_elem
-    T = _pick_slab(grid.dims[0], slab)
     dt = u.dtype
     K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
+
+    # Mosaic requires the slab (second-to-last in 2D) block dim to be a
+    # sublane multiple; pad the leading dimension with zero-modulus
+    # elements up to a multiple of `slab` (their contributions vanish)
+    nx = grid.dims[0]
+    T = slab
+    pad = _pad_to_multiple(nx, T)
+    if pad:
+        grid = grid.with_dims((nx + pad,) + grid.dims[1:])
+        u = jnp.pad(u, [(0, pad)] + [(0, 0)] * (u.ndim - 1))
+        young = jnp.pad(young, [(0, pad)] + [(0, 0)] * (young.ndim - 1))
 
     u_comps = [u[..., d] for d in range(ndim)]
     outs = _apply_k_pallas_partial(u_comps, young.astype(dt), K0r, grid, T,
@@ -190,5 +204,5 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
             # interior shared planes: slab i's last plane adds onto
             # slab i+1's first plane (rows T, 2T, ..., (nslabs-1)T)
             full = full.at[T: nslabs * T: T].add(last[:-1])
-        comps.append(full)
+        comps.append(full[: nx + 1])         # drop padded node planes
     return jnp.stack(comps, axis=-1)

@@ -81,9 +81,28 @@ def main(argv=None):
                 step=int(state.step), opt_state=state.opt_state,
             )
 
+    # resume from a previous checkpoint if requested
+    # (reference: train_xdg.py --checkpoint -> utils.load_weights)
+    resume_state = None
+    if args.checkpoint:
+        from ndr_tpu.training.neural import build_trainer
+
+        state0, _, _ = build_trainer(cfg, ncfg, dims=dims, dtype=dtype)
+        params, buffers, sigma, step, opt_state = ckpt.load_checkpoint(
+            args.checkpoint, state0.params, state0.buffers, state0.opt_state
+        )
+        import dataclasses as _dc
+        resume_state = _dc.replace(
+            state0, params=params, buffers=buffers,
+            opt_state=opt_state or state0.opt_state,
+            step=jnp.asarray(step or 0, jnp.int32),
+        )
+        sys.stderr.write(f"Resumed checkpoint at step {step} (sigma={sigma})\n")
+
     state, history, aux = train(
         cfg, ncfg, dims=dims, max_iter=args.iter,
-        log_every=args.log_every, checkpoint_cb=checkpoint_cb, dtype=dtype,
+        log_every=args.log_every, checkpoint_cb=checkpoint_cb,
+        state=resume_state, dtype=dtype,
     )
 
     # final artifacts: density field + history + final checkpoint
@@ -103,8 +122,25 @@ def main(argv=None):
         state.params, state.buffers, ncfg.sigma,
         step=int(state.step), opt_state=state.opt_state,
     )
+    # final compliance + thresholded binary compliance report
+    # (reference: train_xdg.py final max-resolution query + binary loss)
+    u, iters = aux["solve"](jnp.asarray(rho, dtype), None)
+    from ndr_tpu.fem import topopt as _topo
+    c_final = 2.0 * float(_topo.compliance_with_adjoint(
+        jnp.asarray(rho, dtype), u, aux["prob"]))
+    binary = (jnp.asarray(rho, dtype) > 0.5).astype(dtype)
+    u_b, _ = aux["solve"](binary, None)
+    c_binary = 2.0 * float(_topo.compliance_with_adjoint(binary, u_b, aux["prob"]))
+    sys.stderr.write(
+        f"Final compliance {c_final:.6f}, binary {c_binary:.6f}, "
+        f"b-vol={float(jnp.mean(binary)):.7f}\n"
+    )
     with open(os.path.join(args.out, f"{title}_history.json"), "w") as f:
-        json.dump({"history": history}, f)
+        json.dump({
+            "history": history,
+            "final_compliance": c_final,
+            "binary_compliance": c_binary,
+        }, f)
 
 
 if __name__ == "__main__":
