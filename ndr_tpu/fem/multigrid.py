@@ -122,6 +122,55 @@ def coarsened_k0s(K0: np.ndarray, ndim: int) -> np.ndarray:
     return out.reshape(phis.shape[0], npe * ndim, npe * ndim)
 
 
+def deep_coarsened_k0s(K0: np.ndarray, ndim: int, level: int) -> np.ndarray:
+    """C_l: level-l Galerkin contributions of each fine element position.
+
+    A level-l coarse element contains (2^l)^N fine elements; the coarse
+    Ke is  sum_r E[fine at r] * C_l[r]  with C_l[r] = P_r^T K0 P_r, where
+    P_r interpolates the coarse trilinear basis at the fine element's
+    nodes (the l-fold generalization of the reference's 2^N cached
+    coarsened-K0 trick, MultigridSolver.hh:644-656).
+
+    Returns ((2^l)^N, d, d) with r flattened in C order over the relative
+    position tuple (matching :func:`pooled_young`).
+    """
+    npe = 1 << ndim
+    d = npe * ndim
+    K0r = np.asarray(K0).reshape(npe, ndim, npe, ndim)
+    local = np.array(list(itertools.product((0, 1), repeat=ndim)))  # C order
+    s = 1 << level
+    out = np.zeros((s ** ndim, d, d))
+    for ri, r in enumerate(itertools.product(range(s), repeat=ndim)):
+        W = np.zeros((npe, npe))  # W[a, A]: coarse basis A at fine node a
+        for a_i, a in enumerate(local):
+            p = (np.asarray(r) + a) / s
+            for A_i, A in enumerate(local):
+                w = 1.0
+                for dd in range(ndim):
+                    w *= p[dd] if A[dd] == 1 else (1.0 - p[dd])
+                W[a_i, A_i] = w
+        C = np.einsum("acbe,aA,bB->AcBe", K0r, W, W)
+        out[ri] = C.reshape(d, d)
+    return out
+
+
+def pooled_young(young: jnp.ndarray, level: int) -> jnp.ndarray:
+    """Reshape the fine modulus field (dims...) to (coarse_dims..., R)
+    where R = (2^l)^N gathers the fine elements of each level-l coarse
+    element in C order over their relative position."""
+    ndim = young.ndim
+    s = 1 << level
+    shape = []
+    for n in young.shape:
+        shape += [n // s, s]
+    x = young.reshape(shape)
+    # interleaved (c0, r0, c1, r1, ...) -> (c0, c1, ..., r0, r1, ...)
+    perm = list(range(0, 2 * ndim, 2)) + list(range(1, 2 * ndim, 2))
+    x = x.transpose(perm)
+    coarse = tuple(n // s for n in young.shape)
+    return x.reshape(coarse + (s ** ndim,))
+
+
 @dataclasses.dataclass(frozen=True)
 class MGLevel:
     """Static per-level data (grids, masks, parity color masks)."""
@@ -139,10 +188,35 @@ class MGConfig:
     K0: np.ndarray                      # fine-level full-density Ke
     ck0: np.ndarray                     # (2^N, d, d) coarsened K0s (level 1)
     phis: np.ndarray                    # (2^N, npe, npe)
+    # deep-coarsened K0 stacks per level (trace-time constants):
+    # c_stacks[l]: ((2^l)^N, d, d); diag_stacks[l]: ((2^l)^N, npe, N, N)
+    c_stacks: dict = dataclasses.field(default_factory=dict)
+    diag_stacks: dict = dataclasses.field(default_factory=dict)
+    # levels whose full Galerkin Ke exceeds this many bytes use the
+    # transfer-based apply (R K_finer P) instead of materializing Ke
+    ke_cache_limit_bytes: int = 192 * 2**20
 
     @property
     def num_levels(self) -> int:
         return len(self.levels)
+
+    def c_stack(self, level: int) -> np.ndarray:
+        return self.c_stacks[level]
+
+    def diag_stack(self, level: int) -> np.ndarray:
+        return self.diag_stacks[level]
+
+    def ke_bytes(self, level: int) -> int:
+        d = self.K0.shape[0]
+        return self.levels[level].grid.num_elements * d * d * 4
+
+    def level_kind(self, level: int) -> str:
+        if level == 0:
+            return "fine"
+        # the coarsest level must cache Ke (direct dense factorization)
+        if level == self.num_levels - 1:
+            return "cached"
+        return "cached" if self.ke_bytes(level) <= self.ke_cache_limit_bytes else "transfer"
 
 
 def _parity_color_masks(grid: Grid) -> np.ndarray:
@@ -179,11 +253,24 @@ def build_mg_config(prob: FEMProblem, num_levels: int) -> MGConfig:
         levels.append(MGLevel(grid, mask, _parity_color_masks(grid)))
     ndim = prob.grid.ndim
     K0 = np.asarray(prob.K0)
+    npe = 1 << ndim
+    c_stacks, diag_stacks = {}, {}
+    for l in range(1, num_levels + 1):
+        C = deep_coarsened_k0s(K0, ndim, l)
+        diag_stacks[l] = np.einsum(
+            "race->race",
+            C.reshape(-1, npe, ndim, npe, ndim)[
+                :, np.arange(npe), :, np.arange(npe), :
+            ].transpose(1, 0, 2, 3),
+        )
+        c_stacks[l] = C
     return MGConfig(
         levels=tuple(levels),
         K0=K0,
         ck0=coarsened_k0s(K0, ndim),
         phis=compressed_interpolation_phis(ndim),
+        c_stacks=c_stacks,
+        diag_stacks=diag_stacks,
     )
 
 
@@ -204,35 +291,37 @@ def build_level_stiffness(
     Returns list `Ke[l]` for l = 1..L with shapes (dims_l..., d, d).
     """
     ndim = cfg.levels[0].grid.ndim
-    n_child = 1 << ndim
-    d = cfg.K0.shape[0]
-    npe = d // ndim
-
-    # Level 1: Ke_c = sum_fi E_child(fi) * coarsenedK0[fi]
-    ck0 = jnp.asarray(cfg.ck0, dtype=young.dtype)       # (2^N, d, d)
-    Ke = None
-    for fi in range(n_child):
-        Echild = young[_child_slices(ndim, fi)]         # dims_1
-        term = Echild[..., None, None] * ck0[fi]
-        Ke = term if Ke is None else Ke + term
-    out = [Ke]
-
-    # Deeper levels: Ke_c = sum_fi I^T Ke_child I
-    phis = jnp.asarray(cfg.phis, dtype=young.dtype)     # (2^N, npe, npe)
-    for l in range(2, cfg.num_levels):
-        fine = out[-1]
-        dims_c = cfg.levels[l].grid.dims
-        fine_r = fine.reshape(fine.shape[:-2] + (npe, ndim, npe, ndim))
-        Ke_c = None
-        for fi in range(n_child):
-            child = fine_r[_child_slices(ndim, fi)]
-            term = jnp.einsum(
-                "...icjd,iI,jJ->...IcJd", child, phis[fi], phis[fi],
-                preferred_element_type=child.dtype,
-            )
-            Ke_c = term if Ke_c is None else Ke_c + term
-        out.append(Ke_c.reshape(dims_c + (d, d)))
+    out = []
+    for l in range(1, cfg.num_levels):
+        out.append(build_level_ke(cfg, young, l))
     return out
+
+
+def build_level_ke(cfg: MGConfig, young: jnp.ndarray, level: int) -> jnp.ndarray:
+    """Level-l Galerkin element stiffnesses *directly* from the fine
+    modulus field: one MXU matmul (ne_l, R) @ (R, d*d) with the
+    trace-time-constant deep-coarsened K0 stack."""
+    ndim = cfg.levels[0].grid.ndim
+    d = cfg.K0.shape[0]
+    C = jnp.asarray(cfg.c_stack(level), dtype=young.dtype)  # (R, d, d)
+    pooled = pooled_young(young, level)                     # (dims_l..., R)
+    Ke = jnp.einsum(
+        "...r,rde->...de", pooled, C, preferred_element_type=young.dtype
+    )
+    return Ke
+
+
+def build_level_ke_diag(cfg: MGConfig, young: jnp.ndarray, level: int):
+    """Only the per-element (local-node) diagonal blocks of the level-l
+    Ke — enough for smoother diagonals on levels whose full Ke would not
+    fit comfortably in HBM. Shape (dims_l..., npe, N, N)."""
+    ndim = cfg.levels[0].grid.ndim
+    npe = 1 << ndim
+    diagC = jnp.asarray(cfg.diag_stack(level), dtype=young.dtype)  # (R, npe, N, N)
+    pooled = pooled_young(young, level)
+    return jnp.einsum(
+        "...r,race->...ace", pooled, diagC, preferred_element_type=young.dtype
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -297,26 +386,43 @@ def restrict(r_fine: jnp.ndarray, ndim: int) -> jnp.ndarray:
 
 @dataclasses.dataclass
 class LevelState:
-    """Traced per-level operators for one density configuration."""
+    """Traced per-level operators for one density configuration.
+
+    kind:
+      * "fine"     — matrix-free apply from the SIMP modulus field;
+      * "cached"   — per-element Galerkin Ke materialized (small levels);
+      * "transfer" — Ke would be too large for HBM (e.g. level 1 of a
+        256^3-class grid is ~1.2 GB): apply as R K_parent P, which is
+        exactly the Galerkin operator at ~the cost of one finer-level
+        apply. (The reference faces the same choice between matrix-free
+        and blockK applies — TensorProductSimulator.hh applyK vs
+        applyBlockK and MultigridSolver.hh buildBlockStiffnessMatrices —
+        with CPU cache economics instead of HBM economics.)
+    """
 
     grid: Grid
     dirichlet_mask: jnp.ndarray
     color_masks: jnp.ndarray
     young: Optional[jnp.ndarray]        # level 0 only
-    Ke: Optional[jnp.ndarray]           # levels >= 1
+    Ke: Optional[jnp.ndarray]           # "cached" levels
     Minv_rows: jnp.ndarray              # nodes + (N, N) diag blocks of K
     K0: Optional[jnp.ndarray]           # level 0 only
     Dinv: Optional[jnp.ndarray] = None  # inverse diag blocks (chebyshev)
     lmax: Optional[jnp.ndarray] = None  # est. top eigenvalue of Dinv K
     use_pallas: bool = False            # fused Pallas applyK (level 0)
+    kind: str = "cached"
+    parent: Optional["LevelState"] = None  # finer level ("transfer" only)
 
 
 def _apply_k_level(lv: LevelState, u: jnp.ndarray) -> jnp.ndarray:
-    if lv.Ke is None:
+    if lv.kind == "fine":
         if lv.use_pallas:
             from ndr_tpu.fem import pallas_kernels as pk
             return pk.apply_k_pallas(u, lv.young, lv.K0, lv.grid)
         return ops.apply_k(u, lv.young, lv.K0, lv.grid)
+    if lv.kind == "transfer":
+        ndim = lv.grid.ndim
+        return restrict(_apply_k_level(lv.parent, prolongate(u, ndim)), ndim)
     return ops.apply_k_cached(u, lv.Ke, lv.grid)
 
 
@@ -366,15 +472,19 @@ def build_level_states(
     cfg: MGConfig, prob: FEMProblem, young: jnp.ndarray,
     smoother: str = "gs", power_iters: int = 8, use_pallas: bool = False,
 ) -> List[LevelState]:
-    Kes = build_level_stiffness(cfg, young) if cfg.num_levels > 1 else []
     states = []
     for l, lev in enumerate(cfg.levels):
+        kind = cfg.level_kind(l)
+        Ke = None
         if l == 0:
-            Ke = None
             M = ops.node_diag_blocks(young, cfg.K0, lev.grid)
         else:
-            Ke = Kes[l - 1]
-            M = ops.node_diag_blocks_cached(Ke, lev.grid)
+            if kind == "cached":
+                Ke = build_level_ke(cfg, young, l)
+                M = ops.node_diag_blocks_cached(Ke, lev.grid)
+            else:
+                ke_diag = build_level_ke_diag(cfg, young, l)
+                M = ops.node_diag_blocks_from_elem_diag(ke_diag, lev.grid)
         states.append(
             LevelState(
                 grid=lev.grid,
@@ -385,6 +495,8 @@ def build_level_states(
                 Minv_rows=M,
                 K0=jnp.asarray(cfg.K0, dtype=young.dtype) if l == 0 else None,
                 use_pallas=use_pallas and l == 0,
+                kind=kind,
+                parent=states[-1] if l > 0 else None,
             )
         )
     if smoother == "chebyshev":

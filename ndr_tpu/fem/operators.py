@@ -199,6 +199,18 @@ def node_diag_blocks_cached(Ke: jnp.ndarray, grid: Grid) -> jnp.ndarray:
     return out
 
 
+def node_diag_blocks_from_elem_diag(ke_diag: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Per-node diagonal blocks from per-element *diagonal-only* blocks
+    (dims..., npe, N, N) — used on multigrid levels whose full Ke is not
+    materialized."""
+    N = grid.ndim
+    out = jnp.zeros(grid.nodes_per_dim + (N, N), dtype=ke_diag.dtype)
+    offs = local_node_offsets(grid)
+    for j, o in enumerate(offs):
+        out = out.at[_elem_slice(grid, o)].add(ke_diag[..., j, :, :])
+    return out
+
+
 def invert_blocks(M: jnp.ndarray) -> jnp.ndarray:
     """Closed-form inverse of batched 2x2 / 3x3 SPD blocks (..., N, N).
 

@@ -49,19 +49,24 @@ def _pad_to_multiple(nx: int, m: int) -> int:
     return (-nx) % m
 
 
-def _kernel_body(ndim, npe, T, K0r, rest_nodes, u_refs, e_ref, out_refs,
-                 u_slabs, sem):
+def _kernel_body(ndim, npe, T, K0r, rest_nodes, rest_nodes_pad, u_refs,
+                 e_ref, out_refs, u_slabs, sem):
     """One x-slab: DMA the halo'd u slab, contract, write partial forces."""
     i = pl.program_id(0)
+    start = jnp.int32(i) * jnp.int32(T)
     # ---- DMA u components for this slab (T+1 node planes) --------------
+    # (indices kept int32 explicitly: under jax x64 mode python ints would
+    #  lower as i64, which Mosaic's memref slicing rejects)
     for d in range(ndim):
         cp = pltpu.make_async_copy(
-            u_refs[d].at[pl.ds(i * T, T + 1)], u_slabs[d], sem.at[d]
+            u_refs[d].at[pl.ds(start, T + 1)], u_slabs[d],
+            sem.at[jnp.int32(d)],
         )
         cp.start()
     for d in range(ndim):
         pltpu.make_async_copy(
-            u_refs[d].at[pl.ds(i * T, T + 1)], u_slabs[d], sem.at[d]
+            u_refs[d].at[pl.ds(start, T + 1)], u_slabs[d],
+            sem.at[jnp.int32(d)],
         ).wait()
 
     E = e_ref[...]  # (T, rest_elems...) element moduli of this slab
@@ -110,13 +115,23 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
     rest_nodes = tuple(n + 1 for n in rest_elems)
     dt = u_comps[0].dtype
 
+    # Mosaic requires manual HBM->VMEM DMA slices to be lane-aligned in
+    # the minor dimension: pad the trailing node dim to a 128 multiple
+    lane_pad = (-rest_nodes[-1]) % 128
+    rest_nodes_pad = rest_nodes[:-1] + (rest_nodes[-1] + lane_pad,)
+    if lane_pad:
+        padding = [(0, 0)] * ndim
+        padding[-1] = (0, lane_pad)
+        u_comps = [jnp.pad(c, padding) for c in u_comps]
+
     out_shape = [
         jax.ShapeDtypeStruct((nslabs, T + 1) + rest_nodes, dt)
         for _ in range(ndim)
     ]
 
     kernel = functools.partial(
-        _kernel_body, ndim, npe, T, np.asarray(K0r), rest_nodes
+        _kernel_body, ndim, npe, T, np.asarray(K0r), rest_nodes,
+        rest_nodes_pad,
     )
 
     def wrapped(*refs):
@@ -149,7 +164,9 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
             )
             for _ in range(ndim)
         ],
-        scratch_shapes=[pltpu.VMEM((T + 1,) + rest_nodes, dt) for _ in range(ndim)]
+        scratch_shapes=[
+            pltpu.VMEM((T + 1,) + rest_nodes_pad, dt) for _ in range(ndim)
+        ]
         + [pltpu.SemaphoreType.DMA((ndim,))],
     )
 
