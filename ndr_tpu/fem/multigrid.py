@@ -194,7 +194,7 @@ class MGConfig:
     diag_stacks: dict = dataclasses.field(default_factory=dict)
     # levels whose full Galerkin Ke exceeds this many bytes use the
     # transfer-based apply (R K_finer P) instead of materializing Ke
-    ke_cache_limit_bytes: int = 192 * 2**20
+    ke_cache_limit_bytes: int = 1024 * 2**20
 
     @property
     def num_levels(self) -> int:
@@ -236,7 +236,8 @@ def _parity_color_masks(grid: Grid) -> np.ndarray:
     return np.stack(masks)
 
 
-def build_mg_config(prob: FEMProblem, num_levels: int) -> MGConfig:
+def build_mg_config(prob: FEMProblem, num_levels: int,
+                    ke_cache_limit_bytes: int = 1024 * 2**20) -> MGConfig:
     """Build the static hierarchy for `num_levels` coarsenings.
 
     (reference: MultigridSolver constructor, MultigridSolver.hh:22-90)
@@ -271,6 +272,7 @@ def build_mg_config(prob: FEMProblem, num_levels: int) -> MGConfig:
         phis=compressed_interpolation_phis(ndim),
         c_stacks=c_stacks,
         diag_stacks=diag_stacks,
+        ke_cache_limit_bytes=ke_cache_limit_bytes,
     )
 
 
@@ -683,6 +685,8 @@ class MGSolverSettings:
     inner_tol: float = 3e-3
     # fused Pallas stiffness apply on the fine level (TPU only)
     use_pallas: bool = False
+    # levels whose Galerkin Ke exceeds this use the transfer-based apply
+    ke_cache_limit_bytes: int = 1024 * 2**20
 
 
 def mgpcg_solve(
@@ -813,7 +817,8 @@ def _mgpcg_solve_refined(
 
 def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):
     """Returns a SolveFn (rho, u0) -> (u, iters) closure for topopt."""
-    cfg = build_mg_config(prob, settings.num_levels)
+    cfg = build_mg_config(prob, settings.num_levels,
+                          ke_cache_limit_bytes=settings.ke_cache_limit_bytes)
 
     def solve(rho, u0=None):
         return mgpcg_solve(cfg, prob, rho, u0, settings)

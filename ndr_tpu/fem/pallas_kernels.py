@@ -153,14 +153,16 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
             + [
                 pl.BlockSpec(
                     (T,) + rest_elems,
-                    lambda i: (i,) + (0,) * (ndim - 1),
+                    # literal zeros must be int32: under jax x64 mode a
+                    # python 0 traces as i64, which Mosaic rejects
+                    lambda i: (i,) + (jnp.int32(0),) * (ndim - 1),
                 )
             ]
         ),
         out_specs=[
             pl.BlockSpec(
                 (1, T + 1) + rest_nodes,
-                lambda i: (i,) + (0,) * ndim,
+                lambda i: (i,) + (jnp.int32(0),) * ndim,
             )
             for _ in range(ndim)
         ],

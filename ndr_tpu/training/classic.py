@@ -43,6 +43,8 @@ def ground_truth_topopt(
     multigrid_levels: int = 2,
     use_multigrid: bool = True,
     tol: float = 1e-4,
+    smoother: str = "chebyshev",
+    use_pallas: bool = False,
     smoothing_radius: int = 1,
     projection_beta: float = 1.0,
     oc_move: float = 0.2,
@@ -76,6 +78,8 @@ def ground_truth_topopt(
             mg_smoothing_iterations=2,
             full_multigrid=True,
             zero_init=False,
+            smoother=smoother,
+            use_pallas=use_pallas,
         )
         solve = mg.make_mg_solver(prob, settings)
         import jax as _jax

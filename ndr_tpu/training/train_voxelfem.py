@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--x64", action="store_true", help="run in float64")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--out", help="output directory", default="logs/gt")
+    p.add_argument("--smoother", default="chebyshev",
+                   help="multigrid smoother: chebyshev (TPU-fast) or gs (reference parity)")
+    p.add_argument("--pallas", action="store_true", help="fused Pallas stiffness apply")
     p.add_argument("--log-every", default=1, type=int)
     args = p.parse_args(argv)
 
@@ -58,7 +61,8 @@ def main(argv=None):
     timers.reset()
     result = ground_truth_topopt(
         cfg, dims=dims, max_iter=args.iter, multigrid_levels=args.mgl,
-        log_every=args.log_every,
+        log_every=args.log_every, smoother=args.smoother,
+        use_pallas=args.pallas,
     )
 
     os.makedirs(args.out, exist_ok=True)

@@ -197,3 +197,36 @@ def test_color_masks_partition_grid():
                 ax = np.unique(idx[:, d])
                 if len(ax) > 1:
                     assert np.diff(ax).min() >= 2
+
+
+def test_transfer_level_apply_matches_cached():
+    """Levels above the Ke-cache limit apply R K_parent P; must equal the
+    materialized Galerkin operator and keep MGPCG exact."""
+    cfg, prob, grid = _problem("problems/2d/mbb_beam.json", (16, 8))
+    rng = np.random.default_rng(7)
+    rho = jnp.asarray(rng.uniform(0.1, 1.0, size=grid.dims))
+    young = prob.young(rho)
+
+    # force level 1 into transfer mode (level 2 = coarsest stays cached)
+    mgc_t = mg.build_mg_config(prob, 2, ke_cache_limit_bytes=1)
+    mgc_c = mg.build_mg_config(prob, 2)
+    assert mgc_t.level_kind(1) == "transfer" and mgc_c.level_kind(1) == "cached"
+
+    lv_t = mg.build_level_states(mgc_t, prob, young)
+    lv_c = mg.build_level_states(mgc_c, prob, young)
+    u = jnp.asarray(rng.standard_normal(lv_t[1].grid.nodes_per_dim + (2,)))
+    f_t = mg._apply_k_level(lv_t[1], u)
+    f_c = mg._apply_k_level(lv_c[1], u)
+    np.testing.assert_allclose(np.asarray(f_t), np.asarray(f_c), atol=1e-10)
+    # smoother diagonals agree as well
+    np.testing.assert_allclose(
+        np.asarray(lv_t[1].Minv_rows), np.asarray(lv_c[1].Minv_rows), atol=1e-10
+    )
+
+    # end-to-end: MGPCG with the transfer level matches the direct solve
+    u_direct = solvers.dense_solve(young, prob.K0, prob.dirichlet_mask,
+                                   prob.force, grid)
+    st = mg.MGSolverSettings(num_levels=2, cg_iter=100, tol=1e-10,
+                             ke_cache_limit_bytes=1)
+    u_mg, iters = mg.make_mg_solver(prob, st)(rho, None)
+    np.testing.assert_allclose(np.asarray(u_mg), np.asarray(u_direct), atol=1e-7)
