@@ -6,9 +6,12 @@ intermediates in HBM — ~25x the traffic of the fields themselves. This
 kernel fuses gather -> elementwise K0 contraction -> scatter into one
 VMEM pass over x-slabs of the grid:
 
-  * displacement components are passed as separate scalar fields (SoA)
-    kept in HBM (`memory_space=ANY`) and DMA'd per slab *with their
-    one-plane halo* — overlapping reads that BlockSpecs cannot express;
+  * displacement components are passed as separate scalar fields (SoA),
+    each **twice** with plain BlockSpecs — the slab block and the
+    next-slab block — because a slab needs a one-plane halo that
+    overlapping BlockSpecs cannot express; the kernel concatenates the
+    loaded values. (Plain BlockSpecs also buy automatic double-buffered
+    pipelining, and avoid manual HBM DMA.)
   * the per-element contraction runs as an unrolled sum of
     scalar-coefficient multiply-adds over the slab (VPU work at full
     lane width; the K0 entries are compile-time constants);
@@ -37,58 +40,42 @@ from jax.experimental.pallas import tpu as pltpu
 from ndr_tpu.grid import Grid
 
 
-def _pick_slab(nx: int, target: int = 8) -> int:
-    """Largest divisor of nx not exceeding `target`."""
-    for t in range(min(target, nx), 0, -1):
-        if nx % t == 0:
-            return t
-    return 1
-
-
 def _pad_to_multiple(nx: int, m: int) -> int:
     return (-nx) % m
 
 
-def _kernel_body(ndim, npe, T, K0r, rest_nodes, rest_nodes_pad, u_refs,
-                 e_ref, out_refs, u_slabs, sem):
-    """One x-slab: DMA the halo'd u slab, contract, write partial forces."""
-    i = pl.program_id(0)
-    start = jnp.int32(i) * jnp.int32(T)
-    # ---- DMA u components for this slab (T+1 node planes) --------------
-    # (indices kept int32 explicitly: under jax x64 mode python ints would
-    #  lower as i64, which Mosaic's memref slicing rejects)
-    for d in range(ndim):
-        cp = pltpu.make_async_copy(
-            u_refs[d].at[pl.ds(start, T + 1)], u_slabs[d],
-            sem.at[jnp.int32(d)],
-        )
-        cp.start()
-    for d in range(ndim):
-        pltpu.make_async_copy(
-            u_refs[d].at[pl.ds(start, T + 1)], u_slabs[d],
-            sem.at[jnp.int32(d)],
-        ).wait()
+def _kernel_body(ndim, npe, T, K0r, rest_elems, refs):
+    """One x-slab: assemble the halo'd u slab from the two blocks,
+    contract, write partial forces."""
+    uA = refs[:ndim]
+    uB = refs[ndim: 2 * ndim]
+    e_ref = refs[2 * ndim]
+    out_refs = refs[2 * ndim + 1:]
 
-    E = e_ref[...]  # (T, rest_elems...) element moduli of this slab
-
+    E = e_ref[...]  # (T, rest_elems...)
     offs = list(itertools.product((0, 1), repeat=ndim))
 
-    def u_at(b, d):
-        """Displacement component d at local node b for every element."""
+    # full halo'd slab values (T+1 planes) per component
+    u_slab = [
+        jnp.concatenate([uA[d][...], uB[d][...][:1]], axis=0)
+        for d in range(ndim)
+    ]
+
+    def view(b, d):
         o = offs[b]
-        idx = (pl.ds(o[0], T),) + tuple(
-            pl.ds(o[k], rest_nodes[k - 1] - 1) for k in range(1, ndim)
+        idx = (slice(o[0], o[0] + T),) + tuple(
+            slice(o[k], o[k] + rest_elems[k - 1]) for k in range(1, ndim)
         )
-        return u_slabs[d][idx]
+        return u_slab[d][idx]
 
-    # cache the 2^N * N shifted element views once
-    u_views = [[u_at(b, d) for d in range(ndim)] for b in range(npe)]
+    u_views = [[view(b, d) for d in range(ndim)] for b in range(npe)]
 
+    for c in range(ndim):
+        out_refs[c][...] = jnp.zeros_like(out_refs[c])
     for a in range(npe):            # output local node
         oa = offs[a]
-        # out blocks carry a leading slab axis of extent 1
-        out_idx = (0, pl.ds(oa[0], T)) + tuple(
-            pl.ds(oa[k], rest_nodes[k - 1] - 1) for k in range(1, ndim)
+        out_idx = (0, slice(oa[0], oa[0] + T)) + tuple(
+            slice(oa[k], oa[k] + rest_elems[k - 1]) for k in range(1, ndim)
         )
         for c in range(ndim):       # output component
             acc = None
@@ -115,14 +102,12 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
     rest_nodes = tuple(n + 1 for n in rest_elems)
     dt = u_comps[0].dtype
 
-    # Mosaic requires manual HBM->VMEM DMA slices to be lane-aligned in
-    # the minor dimension: pad the trailing node dim to a 128 multiple
-    lane_pad = (-rest_nodes[-1]) % 128
-    rest_nodes_pad = rest_nodes[:-1] + (rest_nodes[-1] + lane_pad,)
-    if lane_pad:
-        padding = [(0, 0)] * ndim
-        padding[-1] = (0, lane_pad)
-        u_comps = [jnp.pad(c, padding) for c in u_comps]
+    # pad the node rows so block (nslabs) of the shifted input exists:
+    # rows must reach (nslabs + 1) * T
+    row_pad = (nslabs + 1) * T - (nx + 1)
+    u_comps = [
+        jnp.pad(c, [(0, row_pad)] + [(0, 0)] * (ndim - 1)) for c in u_comps
+    ]
 
     out_shape = [
         jax.ShapeDtypeStruct((nslabs, T + 1) + rest_nodes, dt)
@@ -130,54 +115,38 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
     ]
 
     kernel = functools.partial(
-        _kernel_body, ndim, npe, T, np.asarray(K0r), rest_nodes,
-        rest_nodes_pad,
+        _kernel_body, ndim, npe, T, np.asarray(K0r), rest_elems
     )
 
     def wrapped(*refs):
-        u_refs = refs[:ndim]
-        e_ref = refs[ndim]
-        out_refs = refs[ndim + 1: 2 * ndim + 1]
-        scratch = refs[2 * ndim + 1:]
-        u_slabs, sem = scratch[:-1], scratch[-1]
-        # zero-init outputs (grid dim iterates slabs; each block fresh)
-        for r in out_refs:
-            r[...] = jnp.zeros_like(r)
-        kernel(u_refs, e_ref, out_refs, u_slabs, sem)
+        kernel(refs)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(nslabs,),
-        in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * ndim     # u comps (HBM)
-            + [
-                pl.BlockSpec(
-                    (T,) + rest_elems,
-                    # literal zeros must be int32: under jax x64 mode a
-                    # python 0 traces as i64, which Mosaic rejects
-                    lambda i: (i,) + (jnp.int32(0),) * (ndim - 1),
-                )
-            ]
-        ),
-        out_specs=[
-            pl.BlockSpec(
-                (1, T + 1) + rest_nodes,
-                lambda i: (i,) + (jnp.int32(0),) * ndim,
+    def _imap(lead_shift, n_zeros):
+        # int32 zeros created inside the map (x64 mode would trace python
+        # literals as i64, captured constants are disallowed)
+        def imap(i):
+            return (i + lead_shift,) + tuple(
+                jnp.int32(0) for _ in range(n_zeros)
             )
-            for _ in range(ndim)
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((T + 1,) + rest_nodes_pad, dt) for _ in range(ndim)
-        ]
-        + [pltpu.SemaphoreType.DMA((ndim,))],
-    )
+        return imap
+
+    u_block = (T,) + rest_nodes
+    slab_spec = pl.BlockSpec(u_block, _imap(0, ndim - 1))
+    next_spec = pl.BlockSpec(u_block, _imap(1, ndim - 1))
+    e_spec = pl.BlockSpec((T,) + rest_elems, _imap(0, ndim - 1))
+    out_specs = [
+        pl.BlockSpec((1, T + 1) + rest_nodes, _imap(0, ndim))
+        for _ in range(ndim)
+    ]
 
     outs = pl.pallas_call(
         wrapped,
         out_shape=out_shape,
-        grid_spec=grid_spec,
+        grid=(nslabs,),
+        in_specs=[slab_spec] * ndim + [next_spec] * ndim + [e_spec],
+        out_specs=out_specs,
         interpret=interpret,
-    )(*u_comps, young)
+    )(*u_comps, *u_comps, young)
     return outs
 
 
@@ -186,7 +155,9 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
     """Fused matrix-free stiffness apply (TPU Pallas path).
 
     Drop-in equivalent of :func:`ndr_tpu.fem.operators.apply_k` for
-    degree-1 grids whose leading dimension divides by `slab`.
+    degree-1 grids; the leading dimension is zero-padded to a multiple
+    of `slab` (padded elements carry zero modulus, so they contribute
+    nothing).
     """
     if grid.degree != 1:
         raise NotImplementedError("pallas applyK supports degree-1 elements")
@@ -195,9 +166,6 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
     dt = u.dtype
     K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
 
-    # Mosaic requires the slab (second-to-last in 2D) block dim to be a
-    # sublane multiple; pad the leading dimension with zero-modulus
-    # elements up to a multiple of `slab` (their contributions vanish)
     nx = grid.dims[0]
     T = slab
     pad = _pad_to_multiple(nx, T)
