@@ -683,8 +683,11 @@ class MGSolverSettings:
     mixed_precision: bool = True
     max_refinements: int = 6
     inner_tol: float = 3e-3
-    # fused Pallas stiffness apply on the fine level (TPU only)
-    use_pallas: bool = False
+    # fused Pallas stiffness apply on the fine level: True/False or
+    # "auto" (= 3-D grids of >= 2^17 elements on a TPU backend, where the
+    # fused kernel measured ~3x faster than the XLA path; small/2-D grids
+    # favor XLA)
+    use_pallas: object = "auto"
     # levels whose Galerkin Ke exceeds this use the transfer-based apply
     ke_cache_limit_bytes: int = 1024 * 2**20
 
@@ -712,8 +715,9 @@ def mgpcg_solve(
     ):
         return _mgpcg_solve_refined(cfg, prob, rho, u0, settings)
     young = prob.young(rho)
-    levels = build_level_states(cfg, prob, young, smoother=settings.smoother,
-                                use_pallas=settings.use_pallas)
+    levels = build_level_states(
+        cfg, prob, young, smoother=settings.smoother,
+        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid))
     chol = factor_coarsest(levels)
 
     def apply_a(u):
@@ -756,8 +760,9 @@ def _mgpcg_solve_refined(
     """
     f32, f64 = jnp.float32, jnp.float64
     young32 = prob.young(rho).astype(f32)
-    levels = build_level_states(cfg, prob, young32, smoother=settings.smoother,
-                                use_pallas=settings.use_pallas)
+    levels = build_level_states(
+        cfg, prob, young32, smoother=settings.smoother,
+        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid))
     chol = factor_coarsest(levels)
     lv0 = levels[0]
 
@@ -813,6 +818,16 @@ def _mgpcg_solve_refined(
         cond, body, (u, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     )
     return u, total_iters
+
+
+def resolve_use_pallas(setting, grid: Grid) -> bool:
+    if setting != "auto":
+        return bool(setting)
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and grid.ndim == 3 and grid.num_elements >= (1 << 17)
 
 
 def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):

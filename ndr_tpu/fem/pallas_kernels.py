@@ -145,6 +145,11 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
         grid=(nslabs,),
         in_specs=[slab_spec] * ndim + [next_spec] * ndim + [e_spec],
         out_specs=out_specs,
+        # the unrolled contraction keeps several slab-sized temporaries
+        # live; the 16MB default scoped-vmem cap is too small in 3D
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*u_comps, *u_comps, young)
     return outs
