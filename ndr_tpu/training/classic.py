@@ -44,7 +44,7 @@ def ground_truth_topopt(
     use_multigrid: bool = True,
     tol: float = 1e-4,
     smoother: str = "chebyshev",
-    use_pallas: bool = False,
+    use_pallas="auto",
     smoothing_radius: int = 1,
     projection_beta: float = 1.0,
     oc_move: float = 0.2,
