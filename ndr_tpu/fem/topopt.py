@@ -236,21 +236,24 @@ def oc_step(
 
     lam_min, lam_max = jax.lax.while_loop(up_cond, up_body, (lam_min, lam_max))
 
-    # bisection to |c| <= ctol
+    # bisection to |c| <= ctol (iteration-capped: in float32 the volume
+    # mean has ~1e-7 rounding noise, and an unreachable ctol must not
+    # spin the while_loop forever)
     def bis_cond(s):
-        lmin, lmax, lmid, v = s
-        return jnp.abs(v) > ctol
+        lmin, lmax, lmid, v, it = s
+        return (jnp.abs(v) > ctol) & (it < 100)
 
     def bis_body(s):
-        lmin, lmax, lmid, v = s
+        lmin, lmax, lmid, v, it = s
         lmin = jnp.where(v < 0, lmid, lmin)
         lmax = jnp.where(v > 0, lmid, lmax)
         lmid = 0.5 * (lmin + lmax)
-        return lmin, lmax, lmid, ceval(lmid)
+        return lmin, lmax, lmid, ceval(lmid), it + 1
 
     lam_mid0 = 0.5 * (lam_min + lam_max)
-    lam_min, lam_max, lam_mid, v = jax.lax.while_loop(
-        bis_cond, bis_body, (lam_min, lam_max, lam_mid0, ceval(lam_mid0))
+    lam_min, lam_max, lam_mid, v, _ = jax.lax.while_loop(
+        bis_cond, bis_body,
+        (lam_min, lam_max, lam_mid0, ceval(lam_mid0), jnp.asarray(0, jnp.int32)),
     )
 
     x_new = stepped_vars(lam_mid)
