@@ -540,7 +540,7 @@ def _estimate_lmax(lv: LevelState, iters: int) -> jnp.ndarray:
 
 
 def chebyshev_smooth(lv: LevelState, x, b, degree: int,
-                     lower_frac: float = 0.25):
+                     lower_frac: float = 0.25, x_is_zero: bool = False):
     """Degree-`degree` Chebyshev polynomial smoothing on D^-1 K.
 
     TPU-first replacement for multicolor Gauss-Seidel: one stiffness
@@ -559,7 +559,9 @@ def chebyshev_smooth(lv: LevelState, x, b, degree: int,
     delta = 0.5 * (lmax - lmin)
     sigma1 = theta / delta
 
-    r = _zero_dirichlet(lv, b - _apply_k_level(lv, x))
+    # skip the initial stiffness apply when x == 0 (every correction
+    # V-cycle starts from a zero guess)
+    r = b if x_is_zero else _zero_dirichlet(lv, b - _apply_k_level(lv, x))
     z = _dinv_apply(lv, r)
     d = z / theta
     rho = 1.0 / sigma1
@@ -598,27 +600,29 @@ def factor_coarsest(levels: List[LevelState]):
 
 
 def _smooth(lv: LevelState, x, b, nsmooth: int, forward: bool,
-            smoother: str, cheb_degree: int):
+            smoother: str, cheb_degree: int, x_is_zero: bool = False):
     if smoother == "chebyshev":
         # degree plays the role of "sweeps"; direction is irrelevant
-        return chebyshev_smooth(lv, x, b, degree=cheb_degree * nsmooth)
+        return chebyshev_smooth(lv, x, b, degree=cheb_degree * nsmooth,
+                                x_is_zero=x_is_zero)
     for _ in range(nsmooth):
         x = gs_sweep(lv, x, b, forward=forward)
     return x
 
 
 def vcycle(levels, chol, l, x, b, nsmooth: int, symmetric_gs: bool = True,
-           smoother: str = "gs", cheb_degree: int = 2):
+           smoother: str = "gs", cheb_degree: int = 2, x_zero: bool = False):
     """(reference: MultigridSolver.hh:516-553)"""
     if l == len(levels) - 1:
         return _coarse_solve(levels[l], chol, b)
     lv = levels[l]
-    x = _zero_dirichlet(lv, x)
-    x = _smooth(lv, x, b, nsmooth, True, smoother, cheb_degree)
+    x = x if x_zero else _zero_dirichlet(lv, x)
+    x = _smooth(lv, x, b, nsmooth, True, smoother, cheb_degree,
+                x_is_zero=x_zero)
     r = _zero_dirichlet(lv, b - _apply_k_level(lv, x))
     b_c = restrict(r, lv.grid.ndim)
     x_c = vcycle(levels, chol, l + 1, jnp.zeros_like(b_c), b_c, nsmooth,
-                 symmetric_gs, smoother, cheb_degree)
+                 symmetric_gs, smoother, cheb_degree, x_zero=True)
     x = x + prolongate(x_c, lv.grid.ndim)
     x = _smooth(lv, x, b, nsmooth, not symmetric_gs, smoother, cheb_degree)
     return x
@@ -646,8 +650,9 @@ def mg_preconditioner(levels, chol, r, mg_iterations: int, nsmooth: int,
             s = vcycle(levels, chol, 0, s, r, nsmooth, True, smoother, cheb_degree)
     else:
         s = jnp.zeros_like(r)
-        for _ in range(mg_iterations):
-            s = vcycle(levels, chol, 0, s, r, nsmooth, True, smoother, cheb_degree)
+        for k in range(mg_iterations):
+            s = vcycle(levels, chol, 0, s, r, nsmooth, True, smoother,
+                       cheb_degree, x_zero=(k == 0))
     return s
 
 
