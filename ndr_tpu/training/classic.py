@@ -125,11 +125,17 @@ def ground_truth_topopt(
 
     # final evaluation + binary compliance (threshold the *physical*
     # densities at 0.5; reference: utils.compute_binary_compliance_loss)
-    rho = top.physical_density(state.x)
-    c_final, u, _ = top.objective(state.x, state.u)
-    binary = (rho > 0.5).astype(dtype)
-    u_b, _ = solve(binary, state.u)
-    c_binary = float(jnp.vdot(prob.force, u_b))
+    @jax.jit
+    def final_eval(state):
+        rho = top.physical_density(state.x)
+        c_final, u, _ = top.objective(state.x, state.u)
+        binary = (rho > 0.5).astype(dtype)
+        u_b, _ = solve(binary, state.u)
+        c_binary = jnp.vdot(prob.force.astype(u_b.dtype), u_b)
+        return rho, c_final, binary, c_binary
+
+    rho, c_final, binary, c_binary = final_eval(state)
+    c_binary = float(c_binary)
 
     seconds = time.perf_counter() - t_start
     log(

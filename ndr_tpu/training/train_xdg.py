@@ -124,13 +124,19 @@ def main(argv=None):
     )
     # final compliance + thresholded binary compliance report
     # (reference: train_xdg.py final max-resolution query + binary loss)
-    u, iters = aux["solve"](jnp.asarray(rho, dtype), None)
     from ndr_tpu.fem import topopt as _topo
-    c_final = 2.0 * float(_topo.compliance_with_adjoint(
-        jnp.asarray(rho, dtype), u, aux["prob"]))
-    binary = (jnp.asarray(rho, dtype) > 0.5).astype(dtype)
-    u_b, _ = aux["solve"](binary, None)
-    c_binary = 2.0 * float(_topo.compliance_with_adjoint(binary, u_b, aux["prob"]))
+
+    @jax.jit
+    def final_eval(rho):
+        u, _ = aux["solve"](rho, None)
+        c = 2.0 * _topo.compliance_with_adjoint(rho, u, aux["prob"])
+        binary = (rho > 0.5).astype(rho.dtype)
+        u_b, _ = aux["solve"](binary, None)
+        cb = 2.0 * _topo.compliance_with_adjoint(binary, u_b, aux["prob"])
+        return c, binary, cb
+
+    c_final_j, binary, cb_j = final_eval(jnp.asarray(rho, dtype))
+    c_final, c_binary = float(c_final_j), float(cb_j)
     sys.stderr.write(
         f"Final compliance {c_final:.6f}, binary {c_binary:.6f}, "
         f"b-vol={float(jnp.mean(binary)):.7f}\n"
