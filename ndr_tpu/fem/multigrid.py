@@ -829,7 +829,8 @@ def resolve_use_pallas(setting, grid: Grid) -> bool:
     if setting != "auto":
         return bool(setting)
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        d = jax.devices()[0]
+        on_tpu = "tpu" in f"{d.platform} {d.device_kind}".lower()
     except Exception:
         on_tpu = False
     return on_tpu and grid.ndim == 3 and grid.num_elements >= (1 << 17)
