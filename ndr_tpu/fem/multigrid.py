@@ -473,8 +473,10 @@ def gs_sweep(lv: LevelState, u, b, forward: bool = True):
 def build_level_states(
     cfg: MGConfig, prob: FEMProblem, young: jnp.ndarray,
     smoother: str = "gs", power_iters: int = 8, use_pallas: bool = False,
+    cached_ke_dtype: Optional[str] = None,
 ) -> List[LevelState]:
     states = []
+    last = cfg.num_levels - 1
     for l, lev in enumerate(cfg.levels):
         kind = cfg.level_kind(l)
         Ke = None
@@ -484,6 +486,12 @@ def build_level_states(
             if kind == "cached":
                 Ke = build_level_ke(cfg, young, l)
                 M = ops.node_diag_blocks_cached(Ke, lev.grid)
+                if (
+                    cached_ke_dtype
+                    and l != last
+                    and young.dtype == jnp.float32
+                ):
+                    Ke = Ke.astype(cached_ke_dtype)
             else:
                 ke_diag = build_level_ke_diag(cfg, young, l)
                 M = ops.node_diag_blocks_from_elem_diag(ke_diag, lev.grid)
@@ -695,6 +703,12 @@ class MGSolverSettings:
     use_pallas: object = "auto"
     # levels whose Galerkin Ke exceeds this use the transfer-based apply
     ke_cache_limit_bytes: int = 1024 * 2**20
+    # storage dtype for intermediate-level cached Ke on float32 problems.
+    # NOTE: bfloat16 halves coarse-level HBM traffic but empirically
+    # destroys preconditioner quality (the rounding perturbs the coarse
+    # elements' rigid-body null space — the same ~1e5x amplification that
+    # forces K0 to stay float64), so the default keeps float32.
+    cached_ke_dtype: Optional[str] = None
 
 
 def mgpcg_solve(
@@ -722,7 +736,8 @@ def mgpcg_solve(
     young = prob.young(rho)
     levels = build_level_states(
         cfg, prob, young, smoother=settings.smoother,
-        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid))
+        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
+        cached_ke_dtype=settings.cached_ke_dtype)
     chol = factor_coarsest(levels)
 
     def apply_a(u):
@@ -767,7 +782,8 @@ def _mgpcg_solve_refined(
     young32 = prob.young(rho).astype(f32)
     levels = build_level_states(
         cfg, prob, young32, smoother=settings.smoother,
-        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid))
+        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
+        cached_ke_dtype=settings.cached_ke_dtype)
     chol = factor_coarsest(levels)
     lv0 = levels[0]
 
