@@ -44,6 +44,21 @@ def _pad_to_multiple(nx: int, m: int) -> int:
     return (-nx) % m
 
 
+def _pick_slab_for_vmem(rest_nodes, dtype, requested: int) -> int:
+    """Choose the slab thickness so the kernel's scoped-VMEM footprint
+    stays within budget. Empirically the footprint is ~12 MB per slab
+    plane-set at a 66.5 KB plane (measured on v5e: 106 MB at T=8 with
+    (129,129) planes), dominated by double-buffered blocks plus the
+    unrolled contraction's live temporaries."""
+    plane_bytes = int(np.prod(rest_nodes)) * jnp.dtype(dtype).itemsize
+    budget = 60e6
+    for T in (requested, 8, 4, 2, 1):
+        est = 106e6 * ((T + 1) / 9.0) * (plane_bytes / 66564.0)
+        if est <= budget:
+            return T
+    return 1
+
+
 def _kernel_body(ndim, npe, T, K0r, rest_elems, refs):
     """One x-slab: assemble the halo'd u slab from the two blocks,
     contract, write partial forces."""
@@ -172,7 +187,8 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
     K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
 
     nx = grid.dims[0]
-    T = slab
+    rest_nodes = tuple(n + 1 for n in grid.dims[1:])
+    T = _pick_slab_for_vmem(rest_nodes, u.dtype, slab)
     pad = _pad_to_multiple(nx, T)
     if pad:
         grid = grid.with_dims((nx + pad,) + grid.dims[1:])
