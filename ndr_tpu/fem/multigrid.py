@@ -818,27 +818,50 @@ def _mgpcg_solve_refined(
     else:
         u = zero_d64(u0.astype(f64))
 
-    def cond(state):
-        u, r, total_iters, k = state
-        return (k < settings.max_refinements) & (
-            jnp.linalg.norm(r.reshape(-1)) > settings.tol * b_norm
-        )
+    # The float64 residual apply is the single most expensive op at large
+    # 3-D sizes (~262 ms vs 6.8 ms for the fp32 Pallas apply at 4.19M
+    # voxels). The correction system's own fp32 residual is trustworthy
+    # relative to ||r|| (cancellation noise ~1e-7 |K||e| << ||r||), so
+    # instead of re-measuring the true residual after every refinement we
+    # solve ONE correction targeting the final tolerance directly, with a
+    # cond-guarded second pass only when the required reduction exceeds
+    # what a single fp32 solve can deliver (cold starts).
+    tiny = jnp.asarray(1e-300, f64)
 
-    def body(state):
-        u, r, total_iters, k = state
+    def one_pass(u, r, inner_tol):
         e32, iters = solvers.conjugate_gradient(
             apply_a32, r.astype(f32), jnp.zeros(r.shape, f32),
-            tol=settings.inner_tol, max_iter=settings.cg_iter,
-            precond=precond32,
+            tol=inner_tol, max_iter=settings.cg_iter, precond=precond32,
         )
-        u = u + e32.astype(f64)
-        return u, residual64(u), total_iters + iters, k + 1
+        return u + e32.astype(f64), iters
 
-    r0 = residual64(u)
-    u, r, total_iters, k = jax.lax.while_loop(
-        cond, body, (u, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    fp32_comfort = 2e-3  # reductions below this need a second pass
+
+    def needed_reduction(r):
+        rn = jnp.maximum(jnp.linalg.norm(r.reshape(-1)), tiny)
+        return settings.tol * b_norm / rn
+
+    r = residual64(u)
+    needed = needed_reduction(r)
+    inner_tol = jnp.clip(0.5 * needed, fp32_comfort / 4, 0.9).astype(f32)
+    u, it1 = one_pass(u, r, inner_tol)
+
+    def second(u):
+        r2 = residual64(u)
+        needed2 = needed_reduction(r2)
+        tol2 = jnp.clip(0.5 * needed2, fp32_comfort / 4, 0.9).astype(f32)
+        return one_pass(u, r2, tol2)
+
+    u, it2 = jax.lax.cond(
+        needed < fp32_comfort, second, lambda v: (v, jnp.asarray(0, jnp.int32)), u
     )
-    return u, total_iters
+    # a third pass covers deep tolerances (e.g. 1e-7 evaluation solves)
+    # from cold starts: two fp32 passes deliver at most ~(5e-4)^2
+    u, it3 = jax.lax.cond(
+        needed < fp32_comfort ** 2, second,
+        lambda v: (v, jnp.asarray(0, jnp.int32)), u,
+    )
+    return u, it1 + it2 + it3
 
 
 def resolve_use_pallas(setting, grid: Grid) -> bool:
