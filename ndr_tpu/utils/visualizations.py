@@ -120,3 +120,29 @@ def n_column_image_grid(title, image_list: Optional[List[str]] = None,
     fig.savefig(out, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+def memory_usage_vis(csv_file, names=None):
+    """Bar chart of memory consumption per grid size from a CSV log
+    (reference: visualizations.py:20-30; pandas-free)."""
+    import csv as _csv
+
+    names = names or ["Dimensions", "CPU-Mem", "GPU-Mem"]
+    rows = list(_csv.reader(open(csv_file)))
+    labels = [r[0] for r in rows]
+    series = list(zip(*[[float(v) for v in r[1:]] for r in rows]))
+    fig, ax = plt.subplots(figsize=(11, 4))
+    width = 0.8 / max(len(series), 1)
+    xs = np.arange(len(labels))
+    for i, vals in enumerate(series):
+        ax.bar(xs + i * width, vals, width, label=names[i + 1] if i + 1 < len(names) else f"s{i}")
+    ax.set_xticks(xs + width * (len(series) - 1) / 2)
+    ax.set_xticklabels(labels)
+    ax.set_title("Memory Consumption")
+    ax.set_xlabel(names[0])
+    ax.set_ylabel("Memory (MB)")
+    ax.legend()
+    out = csv_file[:-3] + "jpg" if csv_file.endswith(".csv") else csv_file + ".jpg"
+    fig.savefig(out)
+    plt.close(fig)
+    return out
