@@ -461,13 +461,17 @@ def _gs_color_update(lv: LevelState, u, b, color_idx: int, forward: bool):
 def gs_sweep(lv: LevelState, u, b, forward: bool = True):
     """One multicolor Gauss-Seidel sweep over all 2^N parity colors.
 
+    The color loop runs as a fori_loop (one traced stiffness-apply
+    instance per sweep direction instead of 2^N).
     (reference: smoothingMulticoloredGS, MultigridSolver.hh:336-340)
     """
     n_colors = lv.color_masks.shape[0]
-    order = range(n_colors) if forward else range(n_colors - 1, -1, -1)
-    for c in order:
-        u = _gs_color_update(lv, u, b, c, forward)
-    return u
+
+    def body(i, u):
+        c = i if forward else n_colors - 1 - i
+        return _gs_color_update(lv, u, b, c, forward)
+
+    return jax.lax.fori_loop(0, n_colors, body, u)
 
 
 def build_level_states(
@@ -573,13 +577,22 @@ def chebyshev_smooth(lv: LevelState, x, b, degree: int,
     z = _dinv_apply(lv, r)
     d = z / theta
     rho = 1.0 / sigma1
-    for _ in range(degree):
+
+    # fori_loop keeps ONE stiffness-apply instance in the traced graph
+    # regardless of the polynomial degree (trace/compile time at large
+    # grids is dominated by repeated applyK subgraphs)
+    def body(_, carry):
+        x, r, d, rho = carry
         x = x + d
         r = _zero_dirichlet(lv, r - _apply_k_level(lv, d))
         z = _dinv_apply(lv, r)
         rho_new = 1.0 / (2.0 * sigma1 - rho)
         d = rho_new * rho * d + (2.0 * rho_new / delta) * z
-        rho = rho_new
+        return x, r, d, rho_new
+
+    x, r, d, rho = jax.lax.fori_loop(
+        0, degree, body, (x, r, d, rho * jnp.ones_like(lmax))
+    )
     return x
 
 
