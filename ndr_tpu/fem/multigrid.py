@@ -840,41 +840,39 @@ def _mgpcg_solve_refined(
     # cond-guarded second pass only when the required reduction exceeds
     # what a single fp32 solve can deliver (cold starts).
     tiny = jnp.asarray(1e-300, f64)
-
-    def one_pass(u, r, inner_tol):
-        e32, iters = solvers.conjugate_gradient(
-            apply_a32, r.astype(f32), jnp.zeros(r.shape, f32),
-            tol=inner_tol, max_iter=settings.cg_iter, precond=precond32,
-        )
-        return u + e32.astype(f64), iters
-
-    fp32_comfort = 2e-3  # reductions below this need a second pass
+    fp32_floor = 5e-4  # smallest reduction one fp32 CG pass can deliver
 
     def needed_reduction(r):
         rn = jnp.maximum(jnp.linalg.norm(r.reshape(-1)), tiny)
         return settings.tol * b_norm / rn
 
-    r = residual64(u)
-    needed = needed_reduction(r)
-    inner_tol = jnp.clip(0.5 * needed, fp32_comfort / 4, 0.9).astype(f32)
-    u, it1 = one_pass(u, r, inner_tol)
+    def body(state):
+        u, r, done, it_tot, k = state
+        needed = needed_reduction(r)
+        inner_tol = jnp.clip(0.5 * needed, fp32_floor, 0.9).astype(f32)
+        e32, iters = solvers.conjugate_gradient(
+            apply_a32, r.astype(f32), jnp.zeros(r.shape, f32),
+            tol=inner_tol, max_iter=settings.cg_iter, precond=precond32,
+        )
+        u = u + e32.astype(f64)
+        # if the requested reduction wasn't floor-limited, the correction
+        # solve's own (trustworthy) stopping criterion already implies
+        # the outer tolerance — no extra float64 residual needed
+        done = 0.5 * needed >= fp32_floor
+        r = jax.lax.cond(done, lambda v: r, residual64, u)
+        return u, r, done, it_tot + iters, k + 1
 
-    def second(u):
-        r2 = residual64(u)
-        needed2 = needed_reduction(r2)
-        tol2 = jnp.clip(0.5 * needed2, fp32_comfort / 4, 0.9).astype(f32)
-        return one_pass(u, r2, tol2)
+    def cond(state):
+        u, r, done, it_tot, k = state
+        return (~done) & (k < settings.max_refinements)
 
-    u, it2 = jax.lax.cond(
-        needed < fp32_comfort, second, lambda v: (v, jnp.asarray(0, jnp.int32)), u
+    r0 = residual64(u)
+    u, r, done, total_iters, k = jax.lax.while_loop(
+        cond, body,
+        (u, r0, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32)),
     )
-    # a third pass covers deep tolerances (e.g. 1e-7 evaluation solves)
-    # from cold starts: two fp32 passes deliver at most ~(5e-4)^2
-    u, it3 = jax.lax.cond(
-        needed < fp32_comfort ** 2, second,
-        lambda v: (v, jnp.asarray(0, jnp.int32)), u,
-    )
-    return u, it1 + it2 + it3
+    return u, total_iters
 
 
 def resolve_use_pallas(setting, grid: Grid) -> bool:
