@@ -722,6 +722,13 @@ class MGSolverSettings:
     # elements' rigid-body null space — the same ~1e5x amplification that
     # forces K0 to stay float64), so the default keeps float32.
     cached_ke_dtype: Optional[str] = None
+    # "mg" = multigrid V-cycle/FMG preconditioner; "jacobi" = block-Jacobi
+    # PCG with no hierarchy. The reference shares our divisibility
+    # constraint (MultigridSolver.hh:37: grid must be divisible by
+    # 2^numCoarseningLevels); for grids that cannot coarsen at all (e.g.
+    # the 2D bridge's 250x125) make_mg_solver falls back to "jacobi"
+    # automatically.
+    precond: str = "mg"
 
 
 def mgpcg_solve(
@@ -751,21 +758,30 @@ def mgpcg_solve(
         cfg, prob, young, smoother=settings.smoother,
         use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
         cached_ke_dtype=settings.cached_ke_dtype)
-    chol = factor_coarsest(levels)
 
     def apply_a(u):
         return _zero_dirichlet(levels[0], _apply_k_level(levels[0], _zero_dirichlet(levels[0], u)))
 
-    def precond(r):
-        s = mg_preconditioner(
-            levels, chol, r,
-            settings.mg_iterations,
-            settings.mg_smoothing_iterations,
-            settings.full_multigrid,
-            settings.smoother,
-            settings.cheb_degree,
-        )
-        return _zero_dirichlet(levels[0], s)
+    if settings.precond == "jacobi":
+        Dinv0 = (levels[0].Dinv if levels[0].Dinv is not None
+                 else ops.invert_blocks(levels[0].Minv_rows))
+
+        def precond(r):
+            z = jnp.einsum("...ij,...j->...i", Dinv0, r)
+            return _zero_dirichlet(levels[0], z)
+    else:
+        chol = factor_coarsest(levels)
+
+        def precond(r):
+            s = mg_preconditioner(
+                levels, chol, r,
+                settings.mg_iterations,
+                settings.mg_smoothing_iterations,
+                settings.full_multigrid,
+                settings.smoother,
+                settings.cheb_degree,
+            )
+            return _zero_dirichlet(levels[0], s)
 
     b = _zero_dirichlet(levels[0], prob.force)
     if u0 is None or settings.zero_init:
@@ -797,7 +813,6 @@ def _mgpcg_solve_refined(
         cfg, prob, young32, smoother=settings.smoother,
         use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
         cached_ke_dtype=settings.cached_ke_dtype)
-    chol = factor_coarsest(levels)
     lv0 = levels[0]
 
     K0_64 = jnp.asarray(np.asarray(cfg.K0), f64)
@@ -816,13 +831,23 @@ def _mgpcg_solve_refined(
     def apply_a32(v):
         return _zero_dirichlet(lv0, _apply_k_level(lv0, _zero_dirichlet(lv0, v)))
 
-    def precond32(r):
-        s = mg_preconditioner(
-            levels, chol, r, settings.mg_iterations,
-            settings.mg_smoothing_iterations, settings.full_multigrid,
-            settings.smoother, settings.cheb_degree,
-        )
-        return _zero_dirichlet(lv0, s)
+    if settings.precond == "jacobi":
+        Dinv0 = (lv0.Dinv if lv0.Dinv is not None
+                 else ops.invert_blocks(lv0.Minv_rows))
+
+        def precond32(r):
+            z = jnp.einsum("...ij,...j->...i", Dinv0, r)
+            return _zero_dirichlet(lv0, z)
+    else:
+        chol = factor_coarsest(levels)
+
+        def precond32(r):
+            s = mg_preconditioner(
+                levels, chol, r, settings.mg_iterations,
+                settings.mg_smoothing_iterations, settings.full_multigrid,
+                settings.smoother, settings.cheb_degree,
+            )
+            return _zero_dirichlet(lv0, s)
 
     b64 = zero_d64(prob.force.astype(f64))
     b_norm = jnp.linalg.norm(b64.reshape(-1))
@@ -886,9 +911,30 @@ def resolve_use_pallas(setting, grid: Grid) -> bool:
     return on_tpu and grid.ndim == 3 and grid.num_elements >= (1 << 17)
 
 
+def max_feasible_coarsenings(grid: Grid) -> int:
+    """How many 2x coarsenings the grid admits (all dims even each time;
+    same constraint as the reference, MultigridSolver.hh:36-38)."""
+    n, dims = 0, grid.dims
+    while all(d % 2 == 0 and d >= 2 for d in dims):
+        dims = tuple(d // 2 for d in dims)
+        n += 1
+    return n
+
+
 def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):
-    """Returns a SolveFn (rho, u0) -> (u, iters) closure for topopt."""
-    cfg = build_mg_config(prob, settings.num_levels,
+    """Returns a SolveFn (rho, u0) -> (u, iters) closure for topopt.
+
+    Requested coarsenings are clamped to what the grid dims admit; a grid
+    that cannot coarsen at all (e.g. the 2D bridge's 250x125) falls back
+    to block-Jacobi PCG (`precond="jacobi"`).
+    """
+    nl = min(settings.num_levels, max_feasible_coarsenings(prob.grid))
+    if settings.precond == "jacobi" or nl == 0:
+        settings = dataclasses.replace(settings, precond="jacobi", num_levels=0)
+        nl = 0
+    elif nl != settings.num_levels:
+        settings = dataclasses.replace(settings, num_levels=nl)
+    cfg = build_mg_config(prob, nl,
                           ke_cache_limit_bytes=settings.ke_cache_limit_bytes)
 
     def solve(rho, u0=None):

@@ -148,6 +148,35 @@ def test_mgpcg_matches_direct(prob_path, dims, levels):
     assert int(iters) < 40
 
 
+def test_jacobi_fallback_on_indivisible_grid():
+    """A grid that cannot coarsen (odd dim, like the 2D bridge's 250x125)
+    must transparently fall back to block-Jacobi PCG and still converge
+    to the direct solution."""
+    # (14,7): 7 is odd -> zero coarsenings -> auto block-Jacobi
+    cfg, prob, grid = _problem("problems/2d/mbb_beam.json", (14, 7))
+    assert mg.max_feasible_coarsenings(grid) == 0
+    rng = np.random.default_rng(5)
+    rho = jnp.asarray(rng.uniform(0.1, 1.0, size=grid.dims))
+    young = prob.young(rho)
+    u_direct = solvers.dense_solve(young, prob.K0, prob.dirichlet_mask,
+                                   prob.force, grid)
+    st = mg.MGSolverSettings(num_levels=3, cg_iter=2000, tol=1e-10)
+    u_j, _ = mg.make_mg_solver(prob, st)(rho, None)
+    np.testing.assert_allclose(np.asarray(u_j), np.asarray(u_direct),
+                               atol=1e-7)
+
+    # (12,6)->(6,3): one feasible coarsening; a 3-level request clamps
+    cfg2, prob2, grid2 = _problem("problems/2d/mbb_beam.json", (12, 6))
+    assert mg.max_feasible_coarsenings(grid2) == 1
+    rho2 = jnp.asarray(rng.uniform(0.1, 1.0, size=grid2.dims))
+    u_direct2 = solvers.dense_solve(prob2.young(rho2), prob2.K0,
+                                    prob2.dirichlet_mask, prob2.force, grid2)
+    st2 = mg.MGSolverSettings(num_levels=3, cg_iter=300, tol=1e-10)
+    u_mg2, _ = mg.make_mg_solver(prob2, st2)(rho2, None)
+    np.testing.assert_allclose(np.asarray(u_mg2), np.asarray(u_direct2),
+                               atol=1e-7)
+
+
 def test_mgpcg_iteration_count_envelope():
     """At the reference's production settings (tol=1e-4, FMG, 2 smooths)
     the solve should converge in a handful of CG iterations even with
