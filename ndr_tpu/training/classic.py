@@ -49,6 +49,7 @@ def ground_truth_topopt(
     projection_beta: float = 1.0,
     oc_move: float = 0.2,
     oc_ctol: float = 1e-6,
+    cg_iter: Optional[int] = None,
     init: Optional[np.ndarray] = None,
     log: Callable[[str], None] = lambda s: sys.stderr.write(s),
     log_every: int = 1,
@@ -70,9 +71,14 @@ def ground_truth_topopt(
     ]
     mixed = False
     if use_multigrid:
+        if cg_iter is None:
+            # un-coarsenable grids (e.g. 2D bridge 250x125) degrade to
+            # block-Jacobi PCG, which needs far more (much cheaper) iters
+            cg_iter = (2000 if mg.max_feasible_coarsenings(grid) == 0
+                       else 100)
         settings = mg.MGSolverSettings(
             num_levels=multigrid_levels,
-            cg_iter=100,
+            cg_iter=cg_iter,
             tol=tol,
             mg_iterations=1,
             mg_smoothing_iterations=2,

@@ -35,7 +35,10 @@ def main(argv=None):
     p.add_argument("--out", help="output directory", default="logs/gt")
     p.add_argument("--smoother", default="chebyshev",
                    help="multigrid smoother: chebyshev (TPU-fast) or gs (reference parity)")
-    p.add_argument("--pallas", action="store_true", help="fused Pallas stiffness apply")
+    p.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],
+                   help="fused Pallas stiffness apply (auto: large 3D grids on TPU)")
+    p.add_argument("--cg-iter", default=None, type=int,
+                   help="CG iteration cap per solve (default: 100 MGPCG, 2000 block-Jacobi)")
     p.add_argument("--log-every", default=1, type=int)
     args = p.parse_args(argv)
 
@@ -62,7 +65,8 @@ def main(argv=None):
     result = ground_truth_topopt(
         cfg, dims=dims, max_iter=args.iter, multigrid_levels=args.mgl,
         log_every=args.log_every, smoother=args.smoother,
-        use_pallas=args.pallas,
+        use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
+        cg_iter=args.cg_iter,
     )
 
     os.makedirs(args.out, exist_ok=True)
