@@ -507,7 +507,10 @@ def build_level_states(
                 young=young if l == 0 else None,
                 Ke=Ke,
                 Minv_rows=M,
-                K0=jnp.asarray(cfg.K0, dtype=young.dtype) if l == 0 else None,
+                # keep K0 CONCRETE (numpy): the Pallas kernel unrolls its
+                # entries into scalar coefficients at trace time, which a
+                # traced array (e.g. under the neural path's grad) breaks
+                K0=np.asarray(cfg.K0, dtype=young.dtype) if l == 0 else None,
                 use_pallas=use_pallas and l == 0,
                 kind=kind,
                 parent=states[-1] if l > 0 else None,

@@ -136,7 +136,11 @@ def build_trainer(
 
     def loss_fn(params, buffers, u0):
         rho = density_fn(params, buffers, coords, max_volume)
-        u, iters = solve(rho, u0)
+        # sever rho -> solve for AD: the compliance adjoint (self-adjoint
+        # problem) carries the full gradient, so linearizing through the
+        # MGPCG loop is pure waste — and the Pallas stiffness kernel has
+        # no JVP rule anyway
+        u, iters = solve(jax.lax.stop_gradient(rho), u0)
         u = jax.lax.stop_gradient(u)
         c = 2.0 * topopt.compliance_with_adjoint(rho, u, prob)
         loss = c
