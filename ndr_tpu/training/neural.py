@@ -212,10 +212,13 @@ def train(
     state = state0
     history: List[float] = []
     t0 = time.perf_counter()
+    t_warm = t0  # reset after step 0 to exclude trace/compile
     for i in range(max_iter):
         state, metrics = train_step(state)
         c = float(metrics["compliance"])
         history.append(c)
+        if i == 0:
+            t_warm = time.perf_counter()
         if i % log_every == 0 or i == max_iter - 1:
             log(
                 f"Total Steps: {int(state.step)}, Compliance loss {c:.6f}, "
@@ -224,8 +227,10 @@ def train(
             )
         if checkpoint_cb is not None:
             checkpoint_cb(i, state)
-    log(f"Resolution runtime: {time.perf_counter() - t0:.2f}s "
-        f"({max_iter / max(time.perf_counter() - t0, 1e-9):.2f} it/s)\n")
+    t1 = time.perf_counter()
+    log(f"Resolution runtime: {t1 - t0:.2f}s "
+        f"({max_iter / max(t1 - t0, 1e-9):.2f} it/s; steady-state "
+        f"{max(max_iter - 1, 1) / max(t1 - t_warm, 1e-9):.2f} it/s)\n")
     return state, history, aux
 
 
