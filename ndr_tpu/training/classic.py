@@ -50,6 +50,7 @@ def ground_truth_topopt(
     oc_move: float = 0.2,
     oc_ctol: float = 1e-6,
     cg_iter: Optional[int] = None,
+    optimizer: str = "OC",
     init: Optional[np.ndarray] = None,
     log: Callable[[str], None] = lambda s: sys.stderr.write(s),
     log_every: int = 1,
@@ -107,27 +108,38 @@ def ground_truth_topopt(
         x0 = jnp.asarray(init, dtype=dtype).reshape(grid.dims)
     state = topopt.oc_init(top, x0, u_dtype=jnp.float64 if mixed else dtype)
 
-    step = jax.jit(lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol))
-
     history: List[float] = []
     t_start = time.perf_counter()
-    t_iter = t_start
-    with timers.section("OC optimization"):
-        for idx in range(max_iter):
-            state, metrics = step(state)
-            c2 = 2.0 * float(metrics["compliance"])
-            history.append(c2)
-            if idx % log_every == 0 or idx == max_iter - 1:
-                dt = time.perf_counter() - t_iter
-                log(
-                    f"Total Steps: {idx}, Runtime: {dt:.2f}, Compliance loss "
-                    f"{c2:.6f}, constraint {float(metrics['constraint']):.2e}, "
-                    f"lambda {float(metrics['lambda']):.4g}, "
-                    f"cg_iters {int(metrics['cg_iters'])}\n"
-                )
-            t_iter = time.perf_counter()
-            if callback is not None:
-                callback(idx, state)
+    if optimizer == "LBFGS":
+        # reference: fem.py:89-95 — IPOPT limited-memory BFGS alternative
+        # to OC; here the native projected L-BFGS (ops/lbfgs.py)
+        from ndr_tpu.ops import lbfgs as _lbfgs
+
+        with timers.section("LBFGS optimization"):
+            res = _lbfgs.lbfgs_topopt(
+                top, x0, max_iter=max_iter, log=log, log_every=log_every
+            )
+        history = [2.0 * c for c in res.history]
+        state = dataclasses.replace(state, x=jnp.asarray(res.x))
+    else:
+        step = jax.jit(lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol))
+        t_iter = t_start
+        with timers.section("OC optimization"):
+            for idx in range(max_iter):
+                state, metrics = step(state)
+                c2 = 2.0 * float(metrics["compliance"])
+                history.append(c2)
+                if idx % log_every == 0 or idx == max_iter - 1:
+                    dt = time.perf_counter() - t_iter
+                    log(
+                        f"Total Steps: {idx}, Runtime: {dt:.2f}, Compliance loss "
+                        f"{c2:.6f}, constraint {float(metrics['constraint']):.2e}, "
+                        f"lambda {float(metrics['lambda']):.4g}, "
+                        f"cg_iters {int(metrics['cg_iters'])}\n"
+                    )
+                t_iter = time.perf_counter()
+                if callback is not None:
+                    callback(idx, state)
 
     # final evaluation + binary compliance (threshold the *physical*
     # densities at 0.5; reference: utils.compute_binary_compliance_loss)

@@ -58,15 +58,15 @@ def main(argv=None):
         import dataclasses
         cfg = dataclasses.replace(cfg, max_volume=float(args.v0))
 
-    if args.optim != "OC":
-        raise SystemExit(f"optimizer {args.optim!r} not supported (use OC)")
+    if args.optim not in ("OC", "LBFGS"):
+        raise SystemExit(f"optimizer {args.optim!r} not supported (OC or LBFGS)")
 
     timers.reset()
     result = ground_truth_topopt(
         cfg, dims=dims, max_iter=args.iter, multigrid_levels=args.mgl,
         log_every=args.log_every, smoother=args.smoother,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
-        cg_iter=args.cg_iter,
+        cg_iter=args.cg_iter, optimizer=args.optim,
     )
 
     os.makedirs(args.out, exist_ok=True)
