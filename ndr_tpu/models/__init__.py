@@ -15,6 +15,7 @@ from ndr_tpu.models.mlp import (  # noqa: F401
     MLPConfig,
     init_mlp,
     mlp_apply,
+    mlp_apply_chunked,
     homogeneous_init,
     init_multihead_mlp,
     multihead_apply,

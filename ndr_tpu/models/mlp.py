@@ -90,6 +90,40 @@ def mlp_apply(params, buffers, x: jnp.ndarray, cfg: MLPConfig,
     return h
 
 
+def mlp_apply_chunked(params, buffers, x: jnp.ndarray, cfg: MLPConfig,
+                      activation_masks=None,
+                      max_points: int = 1 << 17) -> jnp.ndarray:
+    """Memory-bounded forward pass over a large coordinate grid.
+
+    The Fourier embedding materializes a (N, 2*embedding_size) activation:
+    at multi-million-voxel grids that exceeds HBM (192x96x96 @ 1024
+    features = 14.5 GB), so the flattened points are processed in
+    `max_points`-sized chunks via `lax.map` with `jax.checkpoint` — the
+    backward pass rematerializes each chunk's activations instead of
+    storing them all. Falls through to `mlp_apply` for small inputs.
+
+    (reference runs the full-grid batch through the torch MLP on a
+    256 GB-RAM CPU node — train_xdg.py:282-329; chunking is the
+    TPU-native equivalent.)
+    """
+    lead = x.shape[:-1]
+    n = int(np.prod(lead))
+    if n <= max_points:
+        return mlp_apply(params, buffers, x, cfg, activation_masks)
+    xf = x.reshape(n, x.shape[-1])
+    n_chunks = -(-n // max_points)
+    pad = n_chunks * max_points - n
+    xf = jnp.pad(xf, ((0, pad), (0, 0)))
+
+    @jax.checkpoint
+    def f(c):
+        return mlp_apply(params, buffers, c, cfg, activation_masks)
+
+    out = jax.lax.map(f, xf.reshape(n_chunks, max_points, x.shape[-1]))
+    out = out.reshape(n_chunks * max_points, -1)[:n]
+    return out.reshape(lead + (cfg.out_features,))
+
+
 def homogeneous_init(params, constant: float):
     """Zero (tiny-noise) the last layer's weights, set its bias to
     `constant`, so the first predicted field is uniform at the target

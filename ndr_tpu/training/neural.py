@@ -75,7 +75,7 @@ def make_density_fn(ncfg: NeuralTOConfig, mlp_cfg: models.MLPConfig,
     hard = vol.is_hard_mode(ncfg.volume_constraint_satisfier)
 
     def density_fn(params, buffers, coords, max_volume):
-        out = models.mlp_apply(params, buffers, coords, mlp_cfg)[..., 0]
+        out = models.mlp_apply_chunked(params, buffers, coords, mlp_cfg)[..., 0]
         if hard:
             out = vol.satisfy_volume_constraint(
                 out, max_volume, mode=ncfg.volume_constraint_satisfier

@@ -81,3 +81,22 @@ def test_deconv_generator_shape():
     out = deconv_generator_apply(params, cfg, z)
     assert out.shape == cfg.design
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mlp_chunked_apply_matches_full():
+    """mlp_apply_chunked (memory-bounded lax.map + remat) must agree with
+    the full-batch forward in both values and parameter gradients."""
+    cfg = models.MLPConfig(in_features=3, out_features=1, n_neurons=16,
+                           n_layers=2, embedding_size=8, scale=1.0)
+    params, buffers = models.init_mlp(jax.random.PRNGKey(0), cfg, jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (11, 9, 3))
+    a = models.mlp_apply(params, buffers, x, cfg)
+    b = models.mlp_apply_chunked(params, buffers, x, cfg, max_points=16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(models.mlp_apply(p, buffers, x, cfg) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(
+        models.mlp_apply_chunked(p, buffers, x, cfg, max_points=16) ** 2))(params)
+    for la, lb in zip(ga["layers"], gb["layers"]):
+        np.testing.assert_allclose(np.asarray(la["w"]), np.asarray(lb["w"]),
+                                   rtol=2e-5, atol=1e-7)
