@@ -58,6 +58,7 @@ class NeuralTOConfig:
     cg_tol: float = 1e-4
     cg_iter: int = 100
     seed: int = 88
+    use_pallas: object = "auto"  # True/False/"auto" (see MGSolverSettings)
 
 
 @dataclasses.dataclass
@@ -122,6 +123,7 @@ def build_trainer(
         tol=ncfg.cg_tol,
         mg_iterations=1,
         mg_smoothing_iterations=2,
+        use_pallas=ncfg.use_pallas,
         full_multigrid=True,
         zero_init=False,
     )

@@ -44,6 +44,8 @@ def main(argv=None):
     p.add_argument("--x64", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--log-every", default=10, type=int)
+    p.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],
+                   help="fused Pallas stiffness apply in the MG solve")
     args = p.parse_args(argv)
 
     import jax
@@ -65,6 +67,7 @@ def main(argv=None):
         sigma=args.sigma, learning_rate=args.lr,
         volume_constraint_satisfier=args.vcs,
         multigrid_levels=args.mgl, seed=cfg.seed,
+        use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
     )
 
     np.random.seed(cfg.seed)
