@@ -620,6 +620,14 @@ def factor_coarsest(levels: List[LevelState]):
     mask = lv.dirichlet_mask.reshape(-1)
     K = jnp.where(mask[:, None] | mask[None, :], 0.0, K)
     K = K + jnp.diag(mask.astype(K.dtype))
+    # Tikhonov guard: with few Dirichlet pins (e.g. MBB's single corner
+    # support) the Galerkin-coarsened K can be indefinite at fp32 machine
+    # precision (observed min eig ~ -2e-6 on an 18x6 coarse grid), which
+    # makes the Cholesky NaN and poisons the whole MGPCG. The coarse solve
+    # only preconditions, so a tiny *relative* diagonal shift is harmless
+    # to convergence while making the factorization unconditionally PD.
+    eps = 1e-5 if K.dtype == jnp.float32 else 1e-12
+    K = K + jnp.diag(eps * jnp.diagonal(K))
     return jax.scipy.linalg.cho_factor(K, lower=True)
 
 

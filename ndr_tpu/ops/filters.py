@@ -282,14 +282,32 @@ class AdaptiveFilterState:
     sigma_interval: float = 0.1
     sigma_scaler: float = -1.0
 
-    def apply(self, x):
+    def apply(self, x, beta=None, radius=None, sigma=None, kernel_size=None):
+        """Apply the enabled filters (projection -> smoothing -> gaussian,
+        the reference's apply_filters_group order, filtering.py:120-143).
+
+        β/σ may be passed as dynamic (traced) scalars so a jitted training
+        step can take the adaptive schedule as an operand instead of
+        recompiling; radius and the Gaussian kernel size are structural
+        (stencil sizes) and must be Python ints."""
         if self.use_projection:
-            x = projection_filter(x, self.beta, normalized=True)
+            x = projection_filter(x, self.beta if beta is None else beta,
+                                  normalized=True)
         if self.use_smoothing:
-            x = smoothing_filter(x, int(self.radius))
+            x = smoothing_filter(x, int(self.radius if radius is None else radius))
         if self.use_gaussian:
-            x = gaussian_filter(x, self.sigma)
+            s = self.sigma if sigma is None else sigma
+            k = kernel_size or gaussian_kernel_size(float(self.sigma))
+            x = gaussian_filter(x, s, kernel_size=k)
         return x
+
+    def dynamic_params(self, dtype=None):
+        """((beta, sigma) dynamic scalars, (radius, kernel_size) static ints)."""
+        dtype = dtype or jnp.float32
+        return (
+            (jnp.asarray(self.beta, dtype), jnp.asarray(self.sigma, dtype)),
+            (int(self.radius), gaussian_kernel_size(float(self.sigma))),
+        )
 
     def update(self, iteration: int):
         """Multiply parameters by their scalers every `interval` iterations."""

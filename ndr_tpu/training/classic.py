@@ -55,6 +55,7 @@ def ground_truth_topopt(
     log: Callable[[str], None] = lambda s: sys.stderr.write(s),
     log_every: int = 1,
     callback=None,
+    snapshot_cb=None,
     dtype=None,
 ) -> ClassicResult:
     """Run classic SIMP TO with the OC optimizer.
@@ -140,31 +141,49 @@ def ground_truth_topopt(
                 t_iter = time.perf_counter()
                 if callback is not None:
                     callback(idx, state)
+                if snapshot_cb is not None:
+                    # lazy thunk: only computes the filtered field if the
+                    # callback decides this step is a snapshot step
+                    snapshot_cb(idx, state,
+                                lambda s=state: top.physical_density(s.x))
 
-    # final evaluation + binary compliance (threshold the *physical*
-    # densities at 0.5; reference: utils.compute_binary_compliance_loss)
+    # Final evaluation + binary compliance, matching the reference's exact
+    # (quirky) semantics (fem.py:99-106 + utils.compute_binary_compliance_loss
+    # utils.py:328-337): both the binarized field AND the final "soft" field
+    # are passed through top.setVars — i.e. re-run through the filter chain —
+    # before the solve. The final soft number is therefore the compliance of
+    # the *double-filtered* design (x0 there is tps.getDensities(), already
+    # physical), and the binary number is of the *filtered* thresholded
+    # physical field. The last OC trajectory value is the single-filtered one.
     @jax.jit
     def final_eval(state):
-        rho = top.physical_density(state.x)
-        c_final, u, _ = top.objective(state.x, state.u)
+        rho = top.physical_density(state.x)                 # physical (filtered)
         binary = (rho > 0.5).astype(dtype)
-        u_b, _ = solve(binary, state.u)
+        # reference binary: setVars(binary) -> filter chain -> solve
+        u_b, _ = solve(top.physical_density(binary), state.u)
         c_binary = jnp.vdot(prob.force.astype(u_b.dtype), u_b)
-        return rho, c_final, binary, c_binary
+        # reference final soft: setVars(physical) -> filter chain -> solve
+        u_s, _ = solve(top.physical_density(rho), state.u)
+        c_soft = jnp.vdot(prob.force.astype(u_s.dtype), u_s)
+        return rho, c_soft, binary, c_binary
 
-    rho, c_final, binary, c_binary = final_eval(state)
+    rho, c_soft, binary, c_binary = final_eval(state)
     c_binary = float(c_binary)
 
     seconds = time.perf_counter() - t_start
     log(
-        f"Final step, Compliance loss {2.0 * float(c_final):.6f}, "
-        f"Binary {c_binary:.6f}, b-vol={float(jnp.mean(binary)):.7f}\n"
+        f"Compliance loss of binary densities for \"{binary.size}\": "
+        f"{c_binary}, b-vol={float(jnp.mean(binary)):.7f}\n"
+    )
+    log(
+        f"Final step, Compliance loss {float(c_soft):.6f}, "
+        f"Binary Compliance loss {c_binary:.6f}\n"
     )
     log(f"Overall runtime: {seconds:.3f}\n")
     return ClassicResult(
         densities=np.asarray(state.x),
         physical=np.asarray(rho),
-        compliance=2.0 * float(c_final),
+        compliance=float(c_soft),
         binary_compliance=c_binary,
         history=history,
         seconds=seconds,

@@ -72,10 +72,18 @@ class NeuralTOState:
 
 def make_density_fn(ncfg: NeuralTOConfig, mlp_cfg: models.MLPConfig,
                     filters: Optional[flt.AdaptiveFilterState] = None):
-    """density(params, buffers, coords) -> physical density field."""
+    """density(params, buffers, coords, max_volume, fdyn, fstatic) -> field.
+
+    `fdyn` = (beta, sigma) traced scalars, `fstatic` = (radius, kernel_size)
+    Python ints — the adaptive-filtering schedule enters the jitted step as
+    an operand (β/σ) plus static stencil sizes, mirroring the reference's
+    per-step apply_filters_group + update_adaptive_filtering
+    (train_xdg.py:298-299) without a retrace per β update.
+    """
     hard = vol.is_hard_mode(ncfg.volume_constraint_satisfier)
 
-    def density_fn(params, buffers, coords, max_volume):
+    def density_fn(params, buffers, coords, max_volume,
+                   fdyn=None, fstatic=None):
         out = models.mlp_apply_chunked(params, buffers, coords, mlp_cfg)[..., 0]
         if hard:
             out = vol.satisfy_volume_constraint(
@@ -84,7 +92,10 @@ def make_density_fn(ncfg: NeuralTOConfig, mlp_cfg: models.MLPConfig,
         else:
             out = jnp.clip(out, 0.0, 1.0)
         if filters is not None:
-            out = filters.apply(out)
+            beta, sigma = fdyn if fdyn is not None else (None, None)
+            radius, ksize = fstatic if fstatic is not None else (None, None)
+            out = filters.apply(out, beta=beta, radius=radius, sigma=sigma,
+                                kernel_size=ksize)
         return out
 
     return density_fn, hard
@@ -136,8 +147,8 @@ def build_trainer(
 
     max_volume = jnp.asarray(cfg.max_volume, dtype)
 
-    def loss_fn(params, buffers, u0):
-        rho = density_fn(params, buffers, coords, max_volume)
+    def loss_fn(params, buffers, u0, fdyn, fstatic):
+        rho = density_fn(params, buffers, coords, max_volume, fdyn, fstatic)
         # sever rho -> solve for AD: the compliance adjoint (self-adjoint
         # problem) carries the full gradient, so linearizing through the
         # MGPCG loop is pure waste — and the Pallas stiffness kernel has
@@ -155,21 +166,33 @@ def build_trainer(
             loss = loss + vloss
         return loss, (c, u, iters)
 
-    @jax.jit
-    def train_step(state: NeuralTOState):
-        (loss, (c, u, iters)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.buffers, state.u)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        new_state = NeuralTOState(
-            params=params, buffers=state.buffers, opt_state=opt_state,
-            u=u, step=state.step + 1,
-        )
-        metrics = {"loss": loss, "compliance": c, "cg_iters": iters}
-        return new_state, metrics
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def make_step(fstatic):
+        # one compiled step per structural filter configuration (radius /
+        # Gaussian kernel size change rarely under a geometric schedule)
+        @jax.jit
+        def train_step(state: NeuralTOState, fdyn=(None, None)):
+            (loss, (c, u, iters)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.buffers, state.u, fdyn, fstatic)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = NeuralTOState(
+                params=params, buffers=state.buffers, opt_state=opt_state,
+                u=u, step=state.step + 1,
+            )
+            metrics = {"loss": loss, "compliance": c, "cg_iters": iters}
+            return new_state, metrics
+
+        return train_step
+
+    def train_step(state: NeuralTOState, fdyn=(None, None),
+                   fstatic=(None, None)):
+        return make_step(tuple(fstatic))(state, fdyn)
 
     mixed = (
         settings.mixed_precision
@@ -216,7 +239,13 @@ def train(
     t0 = time.perf_counter()
     t_warm = t0  # reset after step 0 to exclude trace/compile
     for i in range(max_iter):
-        state, metrics = train_step(state)
+        if filters is not None:
+            fdyn, fstatic = filters.dynamic_params(dtype)
+            state, metrics = train_step(state, fdyn, fstatic)
+            # per-step schedule update (reference: train_xdg.py:299)
+            filters.update(i)
+        else:
+            state, metrics = train_step(state)
         c = float(metrics["compliance"])
         history.append(c)
         if i == 0:
@@ -244,6 +273,9 @@ def train_multires(
     epoch_sizes,
     log: Callable[[str], None] = lambda s: sys.stderr.write(s),
     log_every: int = 10,
+    filters: Optional[flt.AdaptiveFilterState] = None,
+    filters_init: Optional[dict] = None,
+    checkpoint_cb=None,
     dtype=jnp.float32,
 ):
     """Multiresolution curriculum: re-train the same network across a
@@ -262,9 +294,14 @@ def train_multires(
     for idx, delta in enumerate(resolution_deltas):
         dims = tuple(int(d) for d in np.asarray(base_dims) + delta * aspect)
         log(f"New resolution within multires loop: {dims}\n")
+        if filters is not None:
+            # reference resets the adaptive schedule at each resolution
+            # (train_xdg.py:273 reset_adaptive_filtering)
+            filters.reset(**(filters_init or {}))
         state, history, aux = train(
             cfg, ncfg, dims=dims, max_iter=int(epoch_sizes[idx]),
-            log=log, log_every=log_every, state=state, dtype=dtype,
+            log=log, log_every=log_every, state=state, filters=filters,
+            checkpoint_cb=checkpoint_cb, dtype=dtype,
         )
         history_all.extend(history)
     return state, history_all, aux

@@ -39,6 +39,10 @@ def main(argv=None):
                    help="fused Pallas stiffness apply (auto: large 3D grids on TPU)")
     p.add_argument("--cg-iter", default=None, type=int,
                    help="CG iteration cap per solve (default: 100 MGPCG, 2000 block-Jacobi)")
+    p.add_argument("--tol", default=1e-4, type=float,
+                   help="solver relative-residual tolerance (reference MGPCG default "
+                        "1e-4; its mgl=0 path is an exact direct solve — use a tight "
+                        "tol like 1e-8 to reproduce those runs)")
     p.add_argument("--log-every", default=1, type=int)
     args = p.parse_args(argv)
 
@@ -62,17 +66,32 @@ def main(argv=None):
         raise SystemExit(f"optimizer {args.optim!r} not supported (OC or LBFGS)")
 
     timers.reset()
-    result = ground_truth_topopt(
-        cfg, dims=dims, max_iter=args.iter, multigrid_levels=args.mgl,
-        log_every=args.log_every, smoother=args.smoother,
-        use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
-        cg_iter=args.cg_iter, optimizer=args.optim,
-    )
-
     os.makedirs(args.out, exist_ok=True)
     title = args.jid or cfg.name
-    np.save(os.path.join(args.out, f"{title}_densities.npy"), result.densities)
+
+    # density-snapshot dumps every max_iter/10 steps, as in the reference GT
+    # loop (reference: fem.py:75-85 — save_for_interactive_vis + save_densities
+    # at every ckp_step); snapshots are of the *physical* densities
+    ckp_step = max(args.iter // 10, 1)
     grid = cfg.make_grid(dims)
+    spacing = tuple(grid.stretchings) + (1.0,) * (3 - grid.ndim)
+
+    def snapshot_cb(idx, state, physical_density):
+        if (idx + 1) % ckp_step == 0:
+            t = f"{title}_iter{idx}"
+            rho = np.asarray(physical_density())
+            np.save(os.path.join(args.out, f"{t}_densities.npy"), rho)
+            export.write_vtr(os.path.join(args.out, t), {"density": rho},
+                             spacing=spacing)
+
+    result = ground_truth_topopt(
+        cfg, dims=dims, max_iter=args.iter, multigrid_levels=args.mgl,
+        use_multigrid=args.mgl > 0, tol=args.tol,
+        log_every=args.log_every, smoother=args.smoother,
+        use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
+        cg_iter=args.cg_iter, optimizer=args.optim, snapshot_cb=snapshot_cb,
+    )
+    np.save(os.path.join(args.out, f"{title}_densities.npy"), result.densities)
     export.write_vtr(
         os.path.join(args.out, f"{title}"),
         {"density": result.physical},

@@ -46,15 +46,46 @@ def main(argv=None):
     p.add_argument("--log-every", default=10, type=int)
     p.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas stiffness apply in the MG solve")
+    # multiresolution curriculum (reference: train_xdg.py:119 + :234-238 —
+    # the shipped config is single-resolution: interval=0, start=0, end=1,
+    # order='ftc', repeat 1; these flags expose the full loop)
+    p.add_argument("--res-interval", default=0, type=int,
+                   help="grid-size delta between multires resolutions")
+    p.add_argument("--res-start", default=0, type=int)
+    p.add_argument("--res-end", default=1, type=int)
+    p.add_argument("--res-order", default="ftc", choices=["ctf", "ftc", "random"])
+    p.add_argument("--repeat-res", default=1, type=int)
+    p.add_argument("--epoch-mode", default="constant",
+                   choices=["constant", "linear_inc", "linear_dec",
+                            "linear_abs", "random"],
+                   help="per-resolution iteration schedule (constant uses --iter)")
+    p.add_argument("--epoch-start", default=800, type=int)
+    p.add_argument("--epoch-end", default=1500, type=int)
+    # adaptive filtering (reference: train_xdg.py:86-101 config dict +
+    # filtering.py:145-199; applied after the volume satisfier each step).
+    # "--af auto" reads the problem JSON's adaptive_filtering list
+    # [beta_interval, beta_scaler, radius_interval, radius_scaler,
+    #  sigma_interval, sigma_scaler]; "--af off" disables (the reference's
+    # shipped default); an explicit JSON dict sets any AdaptiveFilterState
+    # field, e.g. '{"use_projection": true, "beta_interval": 50,
+    # "beta_scaler": 1.1}'.
+    p.add_argument("--af", default="off",
+                   help='adaptive filtering: "off", "auto", or a JSON dict')
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
+    # solver runtime setup: persistent compile cache, true-fp32 matmuls,
+    # x64 mode for the float64 iterative-refinement residuals. Without
+    # this the fp32 CG stalls at its rounding noise floor once the design
+    # hardens (tol 1e-4 unreachable), pinning every solve at the cg_iter
+    # cap — the round-1 "neural throughput decays 10x" failure mode.
+    from ndr_tpu.utils.jax_setup import setup as jax_solver_setup
+    jax_solver_setup()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.x64:
-        jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.x64 else jnp.float32
 
     cfg = load_problem(args.prob)
@@ -73,6 +104,27 @@ def main(argv=None):
     np.random.seed(cfg.seed)
     os.makedirs(args.out, exist_ok=True)
     title = args.jid or f"{cfg.name}_s{args.sigma}"
+
+    # adaptive-filtering schedule
+    from ndr_tpu.ops.filters import AdaptiveFilterState
+
+    filters = None
+    filters_init = {}
+    if args.af == "auto" and cfg.adaptive_filtering:
+        af = list(cfg.adaptive_filtering) + [1.0] * 6
+        filters = AdaptiveFilterState(
+            use_projection=True, beta_interval=af[0], beta_scaler=af[1],
+            use_smoothing=True, radius_interval=af[2], radius_scaler=af[3],
+            use_gaussian=False, sigma_interval=af[4], sigma_scaler=af[5],
+        )
+    elif args.af not in ("off", "auto"):
+        fields = json.loads(args.af)
+        filters = AdaptiveFilterState(**fields)
+        filters_init = {k[: -len("_init")] if k.endswith("_init") else k: v
+                        for k, v in fields.items()
+                        if k in ("beta", "radius", "sigma")}
+    if filters is not None:
+        sys.stderr.write(f"adaptive filtering configs: {filters}\n")
 
     ckp_step = max(args.iter // args.cs, 1)
 
@@ -102,11 +154,36 @@ def main(argv=None):
         )
         sys.stderr.write(f"Resumed checkpoint at step {step} (sigma={sigma})\n")
 
-    state, history, aux = train(
-        cfg, ncfg, dims=dims, max_iter=args.iter,
-        log_every=args.log_every, checkpoint_cb=checkpoint_cb,
-        state=resume_state, dtype=dtype,
-    )
+    multires = args.res_interval != 0 or args.res_end > 1 or args.repeat_res > 1
+    if multires:
+        if resume_state is not None:
+            raise SystemExit("--checkpoint resume is single-resolution only")
+        deltas = curriculum.prepare_resolutions(
+            interval=args.res_interval, start=args.res_start,
+            end=args.res_end, order=args.res_order,
+            repeat_res=args.repeat_res,
+        )
+        if args.res_order == "ftc":
+            deltas = deltas[:-1]  # reference: train_xdg.py:119 drops the tail
+        epoch_sizes = curriculum.prepare_epoch_sizes(
+            n_resolutions=len(deltas), start=args.epoch_start,
+            end=args.epoch_end, mode=args.epoch_mode,
+            constant_value=args.iter,
+        )
+        from ndr_tpu.training.neural import train_multires
+
+        state, history, aux = train_multires(
+            cfg, ncfg, dims, deltas, epoch_sizes,
+            log_every=args.log_every, filters=filters,
+            filters_init=filters_init, checkpoint_cb=checkpoint_cb,
+            dtype=dtype,
+        )
+    else:
+        state, history, aux = train(
+            cfg, ncfg, dims=dims, max_iter=args.iter,
+            log_every=args.log_every, checkpoint_cb=checkpoint_cb,
+            state=resume_state, filters=filters, dtype=dtype,
+        )
 
     # final artifacts: density field + history + final checkpoint
     coords = aux["coords"]

@@ -259,3 +259,29 @@ def test_transfer_level_apply_matches_cached():
                              ke_cache_limit_bytes=1)
     u_mg, iters = mg.make_mg_solver(prob, st)(rho, None)
     np.testing.assert_allclose(np.asarray(u_mg), np.asarray(u_direct), atol=1e-7)
+
+
+def test_fp32_coarse_factorization_near_singular_grids():
+    """Galerkin coarse K can be indefinite at fp32 machine precision when
+    few Dirichlet pins survive coarsening (MBB's single corner support):
+    observed min-eig ~ -2e-6 on the 18x6 coarse grid of a 36x12 fine run,
+    NaN-ing the Cholesky and the whole solve. The relative Tikhonov guard
+    in factor_coarsest must keep every solve finite."""
+    for dims in [(36, 12), (30, 10)]:
+        cfg, prob, grid = _problem("problems/2d/mbb_beam.json", dims)
+        prob32 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, prob)
+        st = mg.MGSolverSettings(num_levels=1, cg_iter=150, tol=1e-4,
+                                 mixed_precision=False)
+        solve = mg.make_mg_solver(prob32, st)
+        rho = jnp.full(grid.dims, 0.3, jnp.float32)
+        u, iters = solve(rho, jnp.zeros(prob32.force.shape, jnp.float32))
+        assert np.isfinite(np.asarray(u)).all(), dims
+        # and the solve actually converged to a sane equilibrium
+        u64 = solvers.dense_solve(prob.young(rho.astype(jnp.float64)),
+                                  prob.K0, prob.dirichlet_mask,
+                                  prob.force, grid)
+        c32 = float(jnp.vdot(prob32.force, u))
+        c64 = float(jnp.vdot(prob.force, u64))
+        assert abs(c32 - c64) / abs(c64) < 5e-3, dims

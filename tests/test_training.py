@@ -101,3 +101,69 @@ def test_classic_pipeline_plain_cg_path():
     )
     assert result.history[-1] < result.history[0]
     assert result.binary_compliance > 0
+
+
+def test_neural_adaptive_filtering_schedule():
+    """Adaptive filtering enters the jitted step as dynamic (beta, sigma)
+    operands + static stencil sizes, and the schedule updates per step
+    (reference: train_xdg.py:298-299 apply_filters_group +
+    update_adaptive_filtering)."""
+    from ndr_tpu.ops.filters import AdaptiveFilterState
+
+    cfg = load_problem("problems/2d/mbb_beam.json")
+    filters = AdaptiveFilterState(
+        use_projection=True, beta=1.0, beta_interval=2, beta_scaler=1.3,
+        use_smoothing=True, radius=1, radius_interval=100, radius_scaler=1.0,
+    )
+    state, hist, aux = neural.train(
+        cfg, _tiny_ncfg(), dims=(16, 8), max_iter=7, log=lambda s: None,
+        filters=filters,
+    )
+    assert np.isfinite(hist).all()
+    # 7 steps, update at i in {2,4,6} -> beta = 1.3^3
+    assert abs(filters.beta - 1.3 ** 3) < 1e-9
+    # hard satisfier runs before the filters; filtered field stays in [0,1]
+    rho = aux["density_fn"](
+        state.params, state.buffers, aux["coords"],
+        jnp.asarray(cfg.max_volume, jnp.float32),
+    )
+    assert float(rho.min()) >= 0.0 and float(rho.max()) <= 1.0
+
+
+def test_classic_final_eval_reference_semantics():
+    """The reference's end-of-run numbers re-filter what it evaluates
+    (fem.py:99-106): binary = filters(threshold(physical)), final soft =
+    filters(physical) — i.e. double-filtered. Pin both behaviors."""
+    from ndr_tpu.fem import topopt as topo
+    from ndr_tpu.ops import filters as flt
+    from ndr_tpu.fem.simulator import problem_from_config
+
+    cfg = load_problem("problems/2d/mbb_beam.json")
+    res = ground_truth_topopt(cfg, dims=(24, 8), max_iter=5,
+                              multigrid_levels=1, log=lambda s: None)
+    prob, grid = problem_from_config(cfg, dims=(24, 8))
+    filters = [flt.SmoothingFilter(radius=1), flt.ProjectionFilter(beta=1.0)]
+    chain = lambda x: flt.apply_filter_chain(x, filters)
+
+    rho = jnp.asarray(res.physical, jnp.float64)
+    binary = (rho > 0.5).astype(jnp.float64)
+    u_b = solvers_dense(prob, chain(binary))
+    u_s = solvers_dense(prob, chain(rho))
+    c_b = float(jnp.vdot(prob.force, u_b))
+    c_s = float(jnp.vdot(prob.force, u_s))
+    # rtol bounded by the tol=1e-4 MGPCG solve inside the driver
+    np.testing.assert_allclose(res.binary_compliance, c_b, rtol=1e-2)
+    np.testing.assert_allclose(res.compliance, c_s, rtol=1e-2)
+    # and the semantics are distinguishable: the *unfiltered* binary and
+    # single-filtered soft values lie farther from the driver's numbers
+    # than the matched (re-filtered) ones
+    c_b_raw = float(jnp.vdot(prob.force, solvers_dense(prob, binary)))
+    c_s_raw = float(jnp.vdot(prob.force, solvers_dense(prob, rho)))
+    assert abs(c_b_raw - res.binary_compliance) > abs(c_b - res.binary_compliance)
+    assert abs(c_s_raw - res.compliance) > abs(c_s - res.compliance)
+
+
+def solvers_dense(prob, rho):
+    from ndr_tpu.fem import solvers as sv
+    return sv.dense_solve(prob.young(rho), prob.K0, prob.dirichlet_mask,
+                          prob.force, prob.grid)
