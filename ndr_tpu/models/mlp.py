@@ -160,10 +160,18 @@ def init_multihead_mlp(key, cfg: MLPConfig, n_heads: int, dtype=jnp.float32):
     return {"trunk": trunk, "heads": heads}, buffers
 
 
-def multihead_apply(params, buffers, x, head_idx: int, cfg: MLPConfig):
+def multihead_apply(params, buffers, x, head_idx: int, cfg: MLPConfig,
+                    activation_masks=None):
+    """Shared trunk + per-task head forward. `activation_masks` (one keep
+    mask per trunk layer output) implements the continual-learning gated
+    activations on the shared trunk (reference: networks.py:209-234,
+    applied to MultiHeadedMLP's trunk via the same forward hooks)."""
     h = fourier_encode(x, buffers["B"])
-    for lyr in params["trunk"]:
-        h = jax.nn.relu(h @ lyr["w"].T + lyr["b"])
+    for i, lyr in enumerate(params["trunk"]):
+        h = h @ lyr["w"].T + lyr["b"]
+        if activation_masks is not None:
+            h = h * activation_masks[i].astype(h.dtype)
+        h = jax.nn.relu(h)
     head = params["heads"][head_idx]
     return h @ head["w"].T + head["b"]
 

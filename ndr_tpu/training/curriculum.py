@@ -108,8 +108,12 @@ def make_activation_masks(key, params, rate):
     for the whole task).
     """
     masks = []
-    layers = params["layers"]
-    for i, lyr in enumerate(layers[:-1]):
+    if isinstance(params, dict):
+        # single-head MLP: all layers but the output; multihead: the trunk
+        layers = params["layers"][:-1] if "layers" in params else params["trunk"]
+    else:
+        layers = params
+    for lyr in layers:
         key, k = jax.random.split(key)
         masks.append(jax.random.uniform(k, (lyr["w"].shape[0],)) > rate)
     return masks

@@ -167,3 +167,27 @@ def solvers_dense(prob, rho):
     from ndr_tpu.fem import solvers as sv
     return sv.dense_solve(prob.young(rho), prob.K0, prob.dirichlet_mask,
                           prob.force, prob.grid)
+
+
+def test_continual_learning_driver():
+    """train_cl composes MultiHeadedMLP + per-task sigma rescaling + gated
+    activations + weight forgetting into a sequential experiment
+    (reference building blocks: networks.py:264-323, cl_utils.py:10-41,
+    multires_utils.py:142-206)."""
+    from ndr_tpu.training.train_cl import CLConfig, train_cl
+
+    cfg = load_problem("problems/2d/mbb_beam.json")
+    ncfg = _tiny_ncfg()
+    clcfg = CLConfig(task_interval=1.5, task_end=2, iters_per_task=5,
+                     activation_gate_rate=0.2, forget_rate=0.1)
+    params, buffers, histories, aux = train_cl(
+        cfg, ncfg, clcfg, dims=(16, 8), log=lambda s: None)
+    assert len(histories) == 2 and all(len(h) == 5 for h in histories)
+    assert np.isfinite(np.concatenate(histories)).all()
+    # each task trains: compliance decreases within the task
+    for h in histories:
+        assert h[-1] < h[0]
+    # B was rescaled for the final task's sigma
+    assert abs(float(buffers["old_scale"]) - aux["sigmas"][-1]) < 1e-6
+    # two heads exist and differ
+    assert len(params["heads"]) == 2
