@@ -554,9 +554,45 @@ def _estimate_lmax(lv: LevelState, iters: int) -> jnp.ndarray:
     return 1.05 * lam
 
 
+def chebyshev_core(apply_fn, dinv_fn, zero_fn, lmax, x, b, degree: int,
+                   lower_frac: float = 0.25, x_is_zero: bool = False):
+    """Degree-`degree` Chebyshev polynomial smoothing on D^-1 K, written
+    against abstract (apply, D^-1, Dirichlet-zero) operators so the
+    single-chip and shard_map paths share the exact same polynomial.
+    """
+    lmin = lower_frac * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    # skip the initial stiffness apply when x == 0 (every correction
+    # V-cycle starts from a zero guess)
+    r = b if x_is_zero else zero_fn(b - apply_fn(x))
+    z = dinv_fn(r)
+    d = z / theta
+    rho = 1.0 / sigma1
+
+    # fori_loop keeps ONE stiffness-apply instance in the traced graph
+    # regardless of the polynomial degree (trace/compile time at large
+    # grids is dominated by repeated applyK subgraphs)
+    def body(_, carry):
+        x, r, d, rho = carry
+        x = x + d
+        r = zero_fn(r - apply_fn(d))
+        z = dinv_fn(r)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+        return x, r, d, rho_new
+
+    x, r, d, rho = jax.lax.fori_loop(
+        0, degree, body, (x, r, d, rho * jnp.ones_like(lmax))
+    )
+    return x
+
+
 def chebyshev_smooth(lv: LevelState, x, b, degree: int,
                      lower_frac: float = 0.25, x_is_zero: bool = False):
-    """Degree-`degree` Chebyshev polynomial smoothing on D^-1 K.
+    """Chebyshev smoothing on a LevelState.
 
     TPU-first replacement for multicolor Gauss-Seidel: one stiffness
     apply per degree, no sequential color passes, and (being a fixed
@@ -568,35 +604,12 @@ def chebyshev_smooth(lv: LevelState, x, b, degree: int,
     via the accuracy/iteration-count envelope (SURVEY.md §4.5), and the
     GS smoother remains available (smoother='gs').
     """
-    lmax = lv.lmax
-    lmin = lower_frac * lmax
-    theta = 0.5 * (lmax + lmin)
-    delta = 0.5 * (lmax - lmin)
-    sigma1 = theta / delta
-
-    # skip the initial stiffness apply when x == 0 (every correction
-    # V-cycle starts from a zero guess)
-    r = b if x_is_zero else _zero_dirichlet(lv, b - _apply_k_level(lv, x))
-    z = _dinv_apply(lv, r)
-    d = z / theta
-    rho = 1.0 / sigma1
-
-    # fori_loop keeps ONE stiffness-apply instance in the traced graph
-    # regardless of the polynomial degree (trace/compile time at large
-    # grids is dominated by repeated applyK subgraphs)
-    def body(_, carry):
-        x, r, d, rho = carry
-        x = x + d
-        r = _zero_dirichlet(lv, r - _apply_k_level(lv, d))
-        z = _dinv_apply(lv, r)
-        rho_new = 1.0 / (2.0 * sigma1 - rho)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
-        return x, r, d, rho_new
-
-    x, r, d, rho = jax.lax.fori_loop(
-        0, degree, body, (x, r, d, rho * jnp.ones_like(lmax))
+    return chebyshev_core(
+        lambda v: _apply_k_level(lv, v),
+        lambda r: _dinv_apply(lv, r),
+        lambda v: _zero_dirichlet(lv, v),
+        lv.lmax, x, b, degree, lower_frac=lower_frac, x_is_zero=x_is_zero,
     )
-    return x
 
 
 # ---------------------------------------------------------------------------

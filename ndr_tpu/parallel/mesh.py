@@ -211,3 +211,253 @@ def make_sharded_cg(sg: ShardedGrid, prob: FEMProblem, tol: float,
 def make_mesh(n_devices: int) -> Mesh:
     devs = np.array(jax.devices()[:n_devices])
     return Mesh(devs, (AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# Sharded geometric multigrid (full MGPCG over the slab decomposition)
+# ---------------------------------------------------------------------------
+#
+# Every multigrid ingredient maps onto the slab decomposition with only
+# face-plane communication:
+#   * Galerkin coarsening (deep-coarsened-K0 einsum over pooled Young
+#     moduli, multigrid.py build_level_ke) is element-local -> no comms;
+#   * prolongation is local given consistent (replicated) boundary node
+#     planes, which it preserves;
+#   * restriction is local except the shared coarse boundary plane: each
+#     shard computes its own elements' contributions (the even-plane term
+#     counted once, by the owning/left shard) and one halo ppermute pair
+#     completes the plane;
+#   * the Chebyshev smoother is a polynomial in (D^-1 K): the sharded K
+#     apply + a halo-summed block diagonal make it SPMD for free (the
+#     multicolor GS smoother is NOT shardable without plane-sequential
+#     sweeps, so the sharded solver always smooths with Chebyshev — a
+#     documented deviation, cf. multigrid.chebyshev_smooth);
+#   * the coarsest level is all-gathered and solved densely (replicated
+#     Cholesky) — the standard "agglomerate below a size threshold"
+#     coarse-grid strategy.
+
+
+def shard_elem_field(e: jnp.ndarray, sg: ShardedGrid) -> jnp.ndarray:
+    """Split a global element field into per-shard slabs (no overlap):
+    (num_shards, L, rest...)."""
+    return e.reshape((sg.num_shards, sg.local_elems) + e.shape[1:])
+
+
+def _local_slice_of_constant(arr: np.ndarray, planes_per_shard: int,
+                             overlap: bool = True):
+    """Inside shard_map: dynamic-slice this shard's slab out of a
+    replicated host constant (used for static per-level Dirichlet masks).
+    """
+    a = jnp.asarray(arr)
+    idx = jax.lax.axis_index(AXIS)
+    start = idx * planes_per_shard
+    size = planes_per_shard + (1 if overlap else 0)
+    return jax.lax.dynamic_slice_in_dim(a, start, size, axis=0)
+
+
+def restrict_sharded(r_local: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Sharded residual restriction: local [1/2,1,1/2]^N stencil with the
+    shared fine plane's even-term counted only by its owner (the left
+    shard), then a halo sum to complete the coarse boundary plane."""
+    from ndr_tpu.fem import multigrid as mg
+
+    idx = jax.lax.axis_index(AXIS)
+    # drop the duplicated (non-owned) first plane's even contribution
+    own_first = jnp.where(idx > 0, 0.0, 1.0).astype(r_local.dtype)
+    r_local = r_local.at[0].multiply(own_first)
+    out = r_local
+    for axis in range(ndim):
+        out = mg._restrict_axis(out, axis)
+    return halo_sum_forces(out)
+
+
+def prolong_sharded(u_coarse_local: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Sharded prolongation: purely local (boundary planes replicated and
+    consistent on both sides stay consistent under interpolation)."""
+    from ndr_tpu.fem import multigrid as mg
+
+    return mg.prolongate(u_coarse_local, ndim)
+
+
+def _sharded_lmax(apply_fn, dinv_fn, zero_fn, shape, dtype, iters: int = 8):
+    """Power-iteration lambda_max(D^-1 K) with psum reductions (the
+    sharded twin of multigrid._estimate_lmax)."""
+    v = zero_fn(jax.random.normal(jax.random.PRNGKey(7), shape, dtype))
+    v = sync_halo_displacements(v)
+
+    def body(_, carry):
+        v, lam = carry
+        w = dinv_fn(zero_fn(apply_fn(v)))
+        lam = jnp.sqrt(psum_vdot(w, w) / jnp.maximum(psum_vdot(v, v), 1e-30))
+        return w / jnp.maximum(jnp.sqrt(psum_vdot(w, w)), 1e-30), lam
+
+    _, lam = jax.lax.fori_loop(0, iters, body,
+                               (v, jnp.asarray(1.0, dtype)))
+    return 1.05 * lam
+
+
+def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
+                       tol: float = 1e-4, max_iter: int = 100,
+                       mg_smoothing_iterations: int = 2, cheb_degree: int = 2,
+                       coarse_shift: float = 1e-5):
+    """Sharded MGPCG solve over the slab decomposition.
+
+    Returns solve(u0_l, rho_l, b_l) for use inside shard_map over a
+    1-D mesh on AXIS: u0_l/b_l are (L+1, rest_nodes..., N) node slabs,
+    rho_l is the (L, rest_elems...) element slab. Dirichlet masks per
+    level are baked in as replicated constants (static BCs).
+
+    The per-shard local element count must be divisible by 2^num_levels.
+    """
+    from ndr_tpu.fem import multigrid as mg
+    from ndr_tpu.fem import solvers
+
+    grid0 = sg.global_grid
+    ndim = grid0.ndim
+    if sg.local_elems % (1 << num_levels):
+        raise ValueError(
+            f"local slab of {sg.local_elems} elements not divisible by "
+            f"2^{num_levels}")
+
+    # static per-level global grids + Dirichlet masks (host-side numpy)
+    level_grids = [grid0]
+    level_masks = [np.asarray(prob.dirichlet_mask)]
+    for _ in range(num_levels):
+        level_grids.append(level_grids[-1].coarsened())
+        level_masks.append(mg.coarsen_dirichlet_mask(level_masks[-1]))
+    local_grids = [
+        g.with_dims((g.dims[0] // sg.num_shards,) + g.dims[1:])
+        for g in level_grids
+    ]
+    # deep-coarsened K0 stacks (trace-time constants, grid-independent)
+    K0 = np.asarray(prob.K0)
+    c_stacks = {
+        l: mg.deep_coarsened_k0s(K0, ndim, l) for l in range(1, num_levels + 1)
+    }
+    coarse_mask_flat = level_masks[-1].reshape(-1)
+
+    def build_levels(rho_l):
+        """Per-shard level operators for one density slab."""
+        young = ops.element_young_modulus(rho_l, prob.E0, prob.Emin, prob.gamma)
+        levels = []
+        for l in range(num_levels + 1):
+            lg = local_grids[l]
+            Lp = lg.dims[0]  # local element planes at this level
+            mask_l = _local_slice_of_constant(level_masks[l], Lp)
+
+            if l == 0:
+                Ke = None
+                blocks = ops.node_diag_blocks(young, K0, lg)
+
+                def apply_l(u, young=young, lg=lg):
+                    return halo_sum_forces(
+                        ops.apply_k(u, young, jnp.asarray(K0, u.dtype), lg))
+            else:
+                C = jnp.asarray(c_stacks[l], young.dtype)
+                pooled = mg.pooled_young(young, l)
+                Ke = jnp.einsum("...r,rde->...de", pooled, C,
+                                preferred_element_type=young.dtype)
+                blocks = ops.node_diag_blocks_cached(Ke, lg)
+
+                def apply_l(u, Ke=Ke, lg=lg):
+                    return halo_sum_forces(ops.apply_k_cached(u, Ke, lg))
+
+            blocks = halo_sum_forces(blocks)
+            Dinv = ops.invert_blocks(blocks)
+
+            def zero_l(u, mask_l=mask_l):
+                return jnp.where(mask_l, 0.0, u)
+
+            def dinv_l(r, Dinv=Dinv, mask_l=mask_l):
+                z = jnp.einsum("...ij,...j->...i", Dinv, r)
+                return jnp.where(mask_l, 0.0, z)
+
+            shape = lg.nodes_per_dim + (ndim,)
+            lmax = _sharded_lmax(apply_l, dinv_l, zero_l, shape, young.dtype)
+            levels.append(dict(apply=apply_l, dinv=dinv_l, zero=zero_l,
+                               lmax=lmax, Ke=Ke, grid=lg))
+        return levels
+
+    def factor_coarse(levels):
+        """All-gather the coarsest Ke and factor the dense global coarse K
+        (replicated — identical on every shard)."""
+        Ke_l = levels[-1]["Ke"]
+        Ke_g = jax.lax.all_gather(Ke_l, AXIS)      # (n, L_c, rest..., d, d)
+        Ke_g = Ke_g.reshape((-1,) + Ke_g.shape[2:])
+        Kd = solvers.assemble_dense_k_traced(Ke_g, level_grids[-1])
+        m = jnp.asarray(coarse_mask_flat)
+        Kd = jnp.where(m[:, None] | m[None, :], 0.0, Kd)
+        Kd = Kd + jnp.diag(m.astype(Kd.dtype))
+        eps = coarse_shift if Kd.dtype == jnp.float32 else 1e-12
+        Kd = Kd + jnp.diag(eps * jnp.diagonal(Kd))
+        return jax.scipy.linalg.cho_factor(Kd, lower=True)
+
+    def coarse_solve(chol, b_l):
+        """Gather the coarse rhs, replicated dense solve, return the
+        local slab (with its shared boundary planes)."""
+        lgc = local_grids[-1]
+        Lc = lgc.dims[0]
+        b_g = jax.lax.all_gather(b_l, AXIS)        # (n, Lc+1, rest..., N)
+        parts = [b_g[0]] + [b_g[i][1:] for i in range(1, sg.num_shards)]
+        b_full = jnp.concatenate(parts, axis=0)
+        m = jnp.asarray(coarse_mask_flat)
+        rhs = jnp.where(m, 0.0, b_full.reshape(-1))
+        x = jax.scipy.linalg.cho_solve(chol, rhs).reshape(b_full.shape)
+        idx = jax.lax.axis_index(AXIS)
+        return jax.lax.dynamic_slice_in_dim(x, idx * Lc, Lc + 1, axis=0)
+
+    def smooth(lv, x, b, x_is_zero=False):
+        for k in range(mg_smoothing_iterations):
+            x = mg.chebyshev_core(lv["apply"], lv["dinv"], lv["zero"],
+                                  lv["lmax"], x, b, cheb_degree,
+                                  x_is_zero=x_is_zero and k == 0)
+        return x
+
+    def vcycle(levels, chol, l, x, b, x_is_zero=False):
+        if l == num_levels:
+            return coarse_solve(chol, b)
+        x = smooth(levels[l], x, b, x_is_zero=x_is_zero)
+        r = levels[l]["zero"](b - levels[l]["apply"](x))
+        r_c = levels[l + 1]["zero"](restrict_sharded(r, ndim))
+        e_c = vcycle(levels, chol, l + 1, 0.0 * r_c,
+                     r_c, x_is_zero=True)
+        x = x + levels[l]["zero"](prolong_sharded(e_c, ndim))
+        return smooth(levels[l], x, b)
+
+    def solve(u0_l, rho_l, b_l):
+        levels = build_levels(rho_l)
+        chol = factor_coarse(levels)
+        lv0 = levels[0]
+
+        def A(v):
+            return lv0["zero"](lv0["apply"](lv0["zero"](v)))
+
+        def precond(r):
+            return lv0["zero"](
+                vcycle(levels, chol, 0, 0.0 * r, r, x_is_zero=True))
+
+        b = lv0["zero"](b_l)
+        b_norm_sq = psum_vdot(b, b)
+        x = lv0["zero"](u0_l)
+        r = b - A(x)
+
+        def cond(state):
+            x, r, d, rz, i = state
+            return (i < max_iter) & (psum_vdot(r, r) > tol * tol * b_norm_sq)
+
+        def body(state):
+            x, r, d, rz_old, i = state
+            z = precond(r)
+            rz = psum_vdot(r, z)
+            beta = jnp.where(i == 0, 0.0, rz / rz_old)
+            d = z + beta * d
+            ad = A(d)
+            alpha = rz / psum_vdot(d, ad)
+            return (x + alpha * d, r - alpha * ad, d, rz, i + 1)
+
+        state = (x, r, jnp.zeros_like(b), jnp.asarray(1.0, b.dtype),
+                 jnp.asarray(0, jnp.int32))
+        x, r, _, _, iters = jax.lax.while_loop(cond, body, state)
+        return x, iters
+
+    return solve

@@ -1,0 +1,232 @@
+"""Sharded (multi-chip) solver tests against single-device oracles.
+
+The virtual 8-device CPU platform needs
+``--xla_force_host_platform_device_count`` which must not leak into the
+main test process (it makes every CPU compile pathologically slow), so
+each test body runs in a subprocess with its own XLA_FLAGS.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+
+def _run_in_multidevice_subprocess(body: str, n_devices: int = 4):
+    """Execute `body` (python source) under an n-device CPU platform."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices} "
+        + env.get("XLA_FLAGS", "")
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "0"
+    prelude = textwrap.dedent(
+        f"""
+        import jax
+        # the ambient environment pins JAX_PLATFORMS to the TPU plugin in a
+        # way env vars can't override; request virtual CPU devices via
+        # config before any backend initializes (cf. __graft_entry__)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", {n_devices})
+        assert jax.device_count() == {n_devices}, jax.devices()
+        """
+    ) + textwrap.dedent(
+        """
+        import jax.numpy as jnp
+        import numpy as np
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from ndr_tpu.fem import multigrid as mg
+        from ndr_tpu.fem import operators as ops
+        from ndr_tpu.fem import solvers
+        from ndr_tpu.fem.simulator import problem_from_config
+        from ndr_tpu.io.problem import load_problem
+        from ndr_tpu.parallel import mesh as pmesh
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", prelude + textwrap.dedent(body)],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, (
+        f"subprocess failed\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    return proc.stdout
+
+
+def test_sharded_apply_k_matches_unsharded():
+    """halo-summed slab applyK == global applyK (the §2.3/§5.8 oracle)."""
+    _run_in_multidevice_subprocess(
+        """
+        n = 4
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(16, 8, 4),
+                                         dtype=jnp.float32)
+        sg = pmesh.ShardedGrid(global_grid=grid, num_shards=n)
+        mesh = pmesh.make_mesh(n)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal(grid.nodes_per_dim + (3,)),
+                        jnp.float32)
+        rho = jnp.asarray(rng.uniform(0.05, 1.0, grid.dims), jnp.float32)
+        young = prob.young(rho)
+
+        f_ref = ops.apply_k(u, young, jnp.asarray(prob.K0, jnp.float32), grid)
+
+        apply_shard = pmesh.make_sharded_apply_k(sg, np.asarray(prob.K0))
+
+        def one(u_l, y_l):
+            return apply_shard(u_l[0], y_l[0])[None]
+
+        f = shard_map(one, mesh=mesh,
+                      in_specs=(P(pmesh.AXIS), P(pmesh.AXIS)),
+                      out_specs=P(pmesh.AXIS))(
+            pmesh.shard_node_field(u, sg)[:, None][:, 0],
+            pmesh.shard_elem_field(young, sg))
+        f_full = pmesh.unshard_node_field(f, sg)
+        np.testing.assert_allclose(np.asarray(f_full), np.asarray(f_ref),
+                                   rtol=2e-5, atol=2e-5)
+        print("APPLY_OK")
+        """
+    )
+
+
+def test_sharded_transfer_operators_match_unsharded():
+    """restrict_sharded / prolong_sharded == global restrict/prolongate."""
+    _run_in_multidevice_subprocess(
+        """
+        n = 4
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(16, 8, 4),
+                                         dtype=jnp.float32)
+        sg = pmesh.ShardedGrid(global_grid=grid, num_shards=n)
+        cgrid = grid.coarsened()
+        sgc = pmesh.ShardedGrid(global_grid=cgrid, num_shards=n)
+        mesh = pmesh.make_mesh(n)
+        rng = np.random.default_rng(1)
+        r = jnp.asarray(rng.standard_normal(grid.nodes_per_dim + (3,)),
+                        jnp.float32)
+        uc = jnp.asarray(rng.standard_normal(cgrid.nodes_per_dim + (3,)),
+                         jnp.float32)
+
+        r_c_ref = mg.restrict(r, 3)
+        u_f_ref = mg.prolongate(uc, 3)
+
+        def rest(r_l):
+            return pmesh.restrict_sharded(r_l[0], 3)[None]
+
+        def prol(u_l):
+            return pmesh.prolong_sharded(u_l[0], 3)[None]
+
+        r_c = shard_map(rest, mesh=mesh, in_specs=P(pmesh.AXIS),
+                        out_specs=P(pmesh.AXIS))(pmesh.shard_node_field(r, sg))
+        u_f = shard_map(prol, mesh=mesh, in_specs=P(pmesh.AXIS),
+                        out_specs=P(pmesh.AXIS))(pmesh.shard_node_field(uc, sgc))
+        np.testing.assert_allclose(
+            np.asarray(pmesh.unshard_node_field(r_c, sgc)),
+            np.asarray(r_c_ref), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(pmesh.unshard_node_field(u_f, sg)),
+            np.asarray(u_f_ref), rtol=2e-5, atol=2e-5)
+        print("TRANSFER_OK")
+        """
+    )
+
+
+def test_sharded_mgpcg_matches_dense_oracle():
+    """Full sharded MGPCG (Galerkin levels + Chebyshev smoothing +
+    all-gathered coarse Cholesky) converges to the dense-solve
+    displacement on a 3D problem."""
+    _run_in_multidevice_subprocess(
+        """
+        n = 4
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(16, 8, 8),
+                                         dtype=jnp.float32)
+        sg = pmesh.ShardedGrid(global_grid=grid, num_shards=n)
+        mesh = pmesh.make_mesh(n)
+        rng = np.random.default_rng(2)
+        rho = jnp.asarray(rng.uniform(0.3, 1.0, grid.dims), jnp.float32)
+
+        solve = pmesh.make_sharded_mgpcg(sg, prob, num_levels=1,
+                                         tol=1e-7, max_iter=200)
+
+        def one(u0_l, rho_l, b_l):
+            x, iters = solve(u0_l[0], rho_l[0], b_l[0])
+            return x[None], iters
+
+        shsolve = shard_map(
+            one, mesh=mesh,
+            in_specs=(P(pmesh.AXIS), P(pmesh.AXIS), P(pmesh.AXIS)),
+            out_specs=(P(pmesh.AXIS), P()))
+
+        b = prob.zero_dirichlet(prob.force).astype(jnp.float32)
+        u_slabs, iters = jax.jit(shsolve)(
+            pmesh.shard_node_field(jnp.zeros_like(b), sg),
+            pmesh.shard_elem_field(rho, sg),
+            pmesh.shard_node_field(b, sg))
+        u = np.asarray(pmesh.unshard_node_field(u_slabs, sg))
+
+        u_ref = np.asarray(solvers.dense_solve(
+            prob.young(rho.astype(jnp.float64)), np.asarray(prob.K0),
+            prob.dirichlet_mask, prob.force.astype(jnp.float64), grid))
+        err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+        assert err < 1e-4, f"relative error {err}"
+        assert int(iters) < 60, f"MGPCG took {int(iters)} iters"
+        # duplicated boundary planes consistent across shards
+        s = np.asarray(u_slabs)
+        for i in range(1, n):
+            np.testing.assert_allclose(s[i][0], s[i-1][-1], rtol=1e-6,
+                                       atol=1e-7)
+        print("MGPCG_OK", int(iters), err)
+        """
+    )
+
+
+def test_sharded_mgpcg_two_levels_high_contrast():
+    """Two coarsenings + SIMP-like modulus contrast (E in [Emin, 1])."""
+    _run_in_multidevice_subprocess(
+        """
+        n = 2
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(16, 8, 8),
+                                         dtype=jnp.float32)
+        sg = pmesh.ShardedGrid(global_grid=grid, num_shards=n)
+        mesh = pmesh.make_mesh(n)
+        rng = np.random.default_rng(3)
+        # hardened design: near-binary densities
+        rho = jnp.asarray((rng.uniform(0, 1, grid.dims) > 0.5) * 0.999
+                          + 0.001, jnp.float32)
+
+        solve = pmesh.make_sharded_mgpcg(sg, prob, num_levels=2,
+                                         tol=1e-6, max_iter=300)
+
+        def one(u0_l, rho_l, b_l):
+            x, iters = solve(u0_l[0], rho_l[0], b_l[0])
+            return x[None], iters
+
+        shsolve = shard_map(
+            one, mesh=mesh,
+            in_specs=(P(pmesh.AXIS), P(pmesh.AXIS), P(pmesh.AXIS)),
+            out_specs=(P(pmesh.AXIS), P()))
+
+        b = prob.zero_dirichlet(prob.force).astype(jnp.float32)
+        u_slabs, iters = jax.jit(shsolve)(
+            pmesh.shard_node_field(jnp.zeros_like(b), sg),
+            pmesh.shard_elem_field(rho, sg),
+            pmesh.shard_node_field(b, sg))
+        u = np.asarray(pmesh.unshard_node_field(u_slabs, sg))
+        u_ref = np.asarray(solvers.dense_solve(
+            prob.young(rho.astype(jnp.float64)), np.asarray(prob.K0),
+            prob.dirichlet_mask, prob.force.astype(jnp.float64), grid))
+        err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+        assert err < 1e-3, f"relative error {err}"
+        print("MGPCG2_OK", int(iters), err)
+        """,
+        n_devices=2,
+    )
