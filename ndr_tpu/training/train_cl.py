@@ -106,6 +106,7 @@ def train_cl(
         num_levels=ncfg.multigrid_levels, cg_iter=ncfg.cg_iter,
         tol=ncfg.cg_tol, mg_iterations=1, mg_smoothing_iterations=2,
         use_pallas=ncfg.use_pallas, full_multigrid=True, zero_init=False,
+        smoother=ncfg.smoother,
     )
     solve = mg.make_mg_solver(prob, settings)
     optimizer = optax.adam(ncfg.learning_rate)

@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("--log-every", default=10, type=int)
     p.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas stiffness apply in the MG solve")
+    p.add_argument("--smoother", default="chebyshev", choices=["chebyshev", "gs"],
+                   help="MG smoother: chebyshev (TPU-fast) or gs (reference parity)")
     # multiresolution curriculum (reference: train_xdg.py:119 + :234-238 —
     # the shipped config is single-resolution: interval=0, start=0, end=1,
     # order='ftc', repeat 1; these flags expose the full loop)
@@ -99,6 +101,7 @@ def main(argv=None):
         volume_constraint_satisfier=args.vcs,
         multigrid_levels=args.mgl, seed=cfg.seed,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
+        smoother=args.smoother,
     )
 
     np.random.seed(cfg.seed)

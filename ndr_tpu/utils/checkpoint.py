@@ -5,8 +5,13 @@ as the reference (utils.py:259-299 save_weights/load_weights: the Fourier
 matrix B and sigma are saved explicitly beside the weights, and `step` +
 optimizer state enable mid-run resume via --checkpoint).
 
-Uses orbax-free plain .npz of the flattened pytree (portable, no
-container format churn); optimizer state is restored by structure.
+Uses orbax-free plain .npz (portable, no container format churn). Leaves
+are stored under their pytree *key paths* (e.g. ``params/layers/0/w``),
+not positional indices, and restore validates both the key set and every
+leaf's shape/dtype against the template — a structural change in the
+model or optimizer fails loudly instead of silently misassigning
+weights. (Positional ``leaf_{i}`` checkpoints from older runs are still
+readable.)
 """
 
 from __future__ import annotations
@@ -19,9 +24,29 @@ import jax
 import numpy as np
 
 
-def _flatten(tree) -> Dict[str, np.ndarray]:
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}, treedef
+def _keypath_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts) if parts else "_"
+
+
+def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        k = _keypath_str(path)
+        if k in out:
+            raise ValueError(f"duplicate checkpoint key {k!r}")
+        out[k] = np.asarray(leaf)
+    return out
 
 
 def save_checkpoint(
@@ -35,18 +60,62 @@ def save_checkpoint(
     """Save a training checkpoint (reference: utils.save_weights)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {}
-    p_flat, _ = _flatten(params)
-    payload.update({f"params/{k}": v for k, v in p_flat.items()})
-    b_flat, _ = _flatten(buffers)
-    payload.update({f"buffers/{k}": v for k, v in b_flat.items()})
-    meta = {"scale": float(scale)}
+    for prefix, tree in (("params", params), ("buffers", buffers)):
+        for k, v in _flatten_with_paths(tree).items():
+            payload[f"{prefix}/{k}"] = v
+    meta = {"scale": float(scale), "format": 2}
     if step is not None:
         meta["step"] = int(step)
     if opt_state is not None:
-        o_flat, _ = _flatten(opt_state)
-        payload.update({f"opt/{k}": v for k, v in o_flat.items()})
+        for k, v in _flatten_with_paths(opt_state).items():
+            payload[f"opt/{k}"] = v
     payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **payload)
+
+
+def _restore_tree(data, prefix, template, strict_dtype=False):
+    """Rebuild `template`'s pytree from stored leaves, validating keys and
+    shapes (and dtypes when strict)."""
+    flat = jax.tree_util.tree_flatten_with_path(template)
+    paths_leaves, treedef = flat
+    stored = {k[len(prefix) + 1:]: k for k in data.files
+              if k.startswith(prefix + "/")}
+    want = {_keypath_str(p): leaf for p, leaf in paths_leaves}
+    missing = sorted(set(want) - set(stored))
+    extra = sorted(set(stored) - set(want))
+    if missing or extra:
+        raise ValueError(
+            f"checkpoint/{prefix} structure mismatch: missing keys "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''}, unexpected "
+            f"keys {extra[:5]}{'...' if len(extra) > 5 else ''}"
+        )
+    new = []
+    for p, leaf in paths_leaves:
+        k = _keypath_str(p)
+        arr = data[stored[k]]
+        tshape = np.shape(leaf)
+        if tuple(arr.shape) != tuple(tshape):
+            raise ValueError(
+                f"checkpoint/{prefix}/{k}: shape {arr.shape} does not match "
+                f"template {tshape}"
+            )
+        if strict_dtype and hasattr(leaf, "dtype") and arr.dtype != leaf.dtype:
+            arr = arr.astype(leaf.dtype)
+        new.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
+def _restore_tree_positional(data, prefix, template):
+    """Legacy (format-1) positional restore for old checkpoints."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    new = [data[f"{prefix}/leaf_{i}"] for i in range(len(leaves))]
+    for i, (a, t) in enumerate(zip(new, leaves)):
+        if tuple(a.shape) != tuple(np.shape(t)):
+            raise ValueError(
+                f"legacy checkpoint {prefix}/leaf_{i}: shape {a.shape} does "
+                f"not match template {np.shape(t)}"
+            )
+    return jax.tree_util.tree_unflatten(treedef, new)
 
 
 def load_checkpoint(
@@ -55,21 +124,18 @@ def load_checkpoint(
     """Restore (params, buffers, scale, step, opt_state) from a checkpoint.
 
     Templates supply the pytree structure (reference: utils.load_weights
-    restores state_dict + B + scale and returns the step).
+    restores state_dict + B + scale and returns the step). Key paths,
+    shapes and the key *set* are validated against the templates.
     """
     with np.load(path) as data:
         meta = json.loads(bytes(data["meta"]).decode())
-
-        def restore(prefix, template):
-            leaves, treedef = jax.tree_util.tree_flatten(template)
-            new = [data[f"{prefix}/leaf_{i}"] for i in range(len(leaves))]
-            return jax.tree_util.tree_unflatten(treedef, new)
-
-        params = restore("params", params_template)
-        buffers = restore("buffers", buffers_template)
+        legacy = meta.get("format", 1) < 2
+        restore = _restore_tree_positional if legacy else _restore_tree
+        params = restore(data, "params", params_template)
+        buffers = restore(data, "buffers", buffers_template)
         opt_state = None
         if opt_state_template is not None and any(
             k.startswith("opt/") for k in data.files
         ):
-            opt_state = restore("opt", opt_state_template)
+            opt_state = restore(data, "opt", opt_state_template)
     return params, buffers, meta["scale"], meta.get("step"), opt_state

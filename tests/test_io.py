@@ -84,3 +84,39 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(buffers["B"]), np.asarray(b2["B"]))
     assert o2 is not None
+
+
+def test_checkpoint_validates_structure_and_shapes(tmp_path):
+    """Format-2 checkpoints store leaves by pytree key path and reject
+    template mismatches loudly (round-1 positional format silently
+    misassigned weights on structural change)."""
+    import optax
+
+    from ndr_tpu import models
+    from ndr_tpu.utils import checkpoint as ckpt
+
+    cfg = models.MLPConfig(in_features=2, n_neurons=8, n_layers=2,
+                           embedding_size=4, scale=1.5)
+    params, buffers = models.init_mlp(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_checkpoint(path, params, buffers, 1.5, step=7,
+                         opt_state=opt.init(params))
+    p2, b2, s, step, o2 = ckpt.load_checkpoint(path, params, buffers,
+                                               opt.init(params))
+    assert (s, step) == (1.5, 7) and o2 is not None
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg3 = models.MLPConfig(in_features=2, n_neurons=8, n_layers=3,
+                            embedding_size=4)
+    p3, b3 = models.init_mlp(jax.random.PRNGKey(1), cfg3)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        ckpt.load_checkpoint(path, p3, b3, None)
+
+    cfg4 = models.MLPConfig(in_features=2, n_neurons=16, n_layers=2,
+                            embedding_size=4)
+    p4, b4 = models.init_mlp(jax.random.PRNGKey(1), cfg4)
+    with pytest.raises(ValueError, match="shape"):
+        ckpt.load_checkpoint(path, p4, b4, None)
