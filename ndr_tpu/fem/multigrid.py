@@ -195,6 +195,9 @@ class MGConfig:
     # levels whose full Galerkin Ke exceeds this many bytes use the
     # transfer-based apply (R K_finer P) instead of materializing Ke
     ke_cache_limit_bytes: int = 1024 * 2**20
+    # per-level guaranteed upper bounds on lambda_max(D^-1 K) (Chebyshev
+    # smoother safety; see _pencil_lmax_bound). {level: float}
+    lmax_bounds: dict = dataclasses.field(default_factory=dict)
 
     @property
     def num_levels(self) -> int:
@@ -236,6 +239,36 @@ def _parity_color_masks(grid: Grid) -> np.ndarray:
     return np.stack(masks)
 
 
+def _pencil_lmax_bound(stack: np.ndarray, ndim: int) -> float:
+    """Density-independent upper bound on lambda_max(D^-1 K) of an
+    assembled level operator, from its per-element component matrices.
+
+    K = sum_e A_e' S_e A_e with S_e = young_e * M_c (fine level: M_c = K0;
+    Galerkin levels: the (2^l)^N coarsened-K0 components), and the
+    block-Jacobi D assembles the same way from blockdiag(S_e). Hence for
+    any x:  x'Kx = sum_e x_e' S_e x_e <= max_c lambda_max(bd(M_c)^-1 M_c)
+    * sum_e x_e' bd(S_e) x_e = bound * x'Dx  — the young factors cancel,
+    so the bound is a one-time numpy eigenproblem per component matrix.
+    Unlike power iteration (which converges from *below* and, at
+    multi-million-node grids, sits ~10% under the true lambda_max even
+    after 100+ iterations), this can never under-estimate — an
+    under-estimated Chebyshev interval amplifies the excluded top modes
+    exponentially in the polynomial degree, which is what collapsed MGPCG
+    at 192x96x96 (cg_iters pinned at the cap) while 64x32x16 ran fine.
+    """
+    M = np.asarray(stack, np.float64)
+    if M.ndim == 2:
+        M = M[None]
+    d = M.shape[-1]
+    npe = d // ndim
+    D = np.zeros_like(M)
+    for a in range(npe):
+        s = slice(a * ndim, (a + 1) * ndim)
+        D[:, s, s] = M[:, s, s]
+    vals = np.linalg.eigvals(np.linalg.solve(D, M))
+    return float(vals.real.max())
+
+
 def build_mg_config(prob: FEMProblem, num_levels: int,
                     ke_cache_limit_bytes: int = 1024 * 2**20) -> MGConfig:
     """Build the static hierarchy for `num_levels` coarsenings.
@@ -265,6 +298,9 @@ def build_mg_config(prob: FEMProblem, num_levels: int,
             ].transpose(1, 0, 2, 3),
         )
         c_stacks[l] = C
+    lmax_bounds = {0: _pencil_lmax_bound(K0, ndim)}
+    for l in range(1, num_levels + 1):
+        lmax_bounds[l] = _pencil_lmax_bound(c_stacks[l], ndim)
     return MGConfig(
         levels=tuple(levels),
         K0=K0,
@@ -273,6 +309,7 @@ def build_mg_config(prob: FEMProblem, num_levels: int,
         c_stacks=c_stacks,
         diag_stacks=diag_stacks,
         ke_cache_limit_bytes=ke_cache_limit_bytes,
+        lmax_bounds=lmax_bounds,
     )
 
 
@@ -517,9 +554,19 @@ def build_level_states(
             )
         )
     if smoother == "chebyshev":
-        for lv in states:
+        for l, lv in enumerate(states):
             lv.Dinv = ops.invert_blocks(lv.Minv_rows)
-            lv.lmax = _estimate_lmax(lv, power_iters)
+            # lambda_max for the Chebyshev interval: the guaranteed
+            # elementwise pencil bound, tightened by an inflated power
+            # estimate where the bound is loose (deep Galerkin levels).
+            # The bound is exact-at-high-contrast on the fine level; the
+            # 1.2x inflation absorbs power iteration's slow from-below
+            # convergence on multi-million-node grids (see
+            # _pencil_lmax_bound).
+            bound = cfg.lmax_bounds.get(l)
+            est = (1.2 / 1.05) * _estimate_lmax(lv, power_iters)
+            lv.lmax = est if bound is None else jnp.minimum(
+                jnp.asarray(bound, est.dtype), est)
     return states
 
 

@@ -64,6 +64,7 @@ class NeuralTOConfig:
     # which measured ~8x on the fine level of 3-D grids; 'gs' remains the
     # reference-parity option
     smoother: str = "chebyshev"
+    cheb_degree: int = 2
 
 
 @dataclasses.dataclass
@@ -143,6 +144,7 @@ def build_trainer(
         full_multigrid=True,
         zero_init=False,
         smoother=ncfg.smoother,
+        cheb_degree=ncfg.cheb_degree,
     )
     solve = mg.make_mg_solver(prob, settings)
 

@@ -206,23 +206,28 @@ def main(argv=None):
         step=int(state.step), opt_state=state.opt_state,
     )
     # final compliance + thresholded binary compliance report
-    # (reference: train_xdg.py final max-resolution query + binary loss)
+    # (reference: train_xdg.py final max-resolution query + binary loss).
+    # One jitted single-solve program called twice (soft then binary):
+    # fusing both solves into one XLA program doubled the live working
+    # set on top of the training state and crashed the TPU worker at
+    # multi-million-voxel grids.
     from ndr_tpu.fem import topopt as _topo
 
-    @jax.jit
-    def final_eval(rho):
-        u, _ = aux["solve"](rho, None)
-        c = 2.0 * _topo.compliance_with_adjoint(rho, u, aux["prob"])
-        binary = (rho > 0.5).astype(rho.dtype)
-        u_b, _ = aux["solve"](binary, None)
-        cb = 2.0 * _topo.compliance_with_adjoint(binary, u_b, aux["prob"])
-        return c, binary, cb
+    state = dataclasses.replace(state, opt_state=None, u=None)
 
-    c_final_j, binary, cb_j = final_eval(jnp.asarray(rho, dtype))
-    c_final, c_binary = float(c_final_j), float(cb_j)
+    @jax.jit
+    def eval_compliance(rho):
+        u, _ = aux["solve"](rho, None)
+        return 2.0 * _topo.compliance_with_adjoint(rho, u, aux["prob"])
+
+    rho_j = jnp.asarray(rho, dtype)
+    c_final = float(eval_compliance(rho_j))
+    binary = (rho_j > 0.5).astype(dtype)
+    b_vol = float(jnp.mean(binary))
+    c_binary = float(eval_compliance(binary))
     sys.stderr.write(
         f"Final compliance {c_final:.6f}, binary {c_binary:.6f}, "
-        f"b-vol={float(jnp.mean(binary)):.7f}\n"
+        f"b-vol={b_vol:.7f}\n"
     )
     with open(os.path.join(args.out, f"{title}_history.json"), "w") as f:
         json.dump({
