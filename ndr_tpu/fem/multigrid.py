@@ -880,9 +880,10 @@ def _mgpcg_solve_refined(
     """
     f32, f64 = jnp.float32, jnp.float64
     young32 = prob.young(rho).astype(f32)
+    use_pallas = resolve_use_pallas(settings.use_pallas, prob.grid)
     levels = build_level_states(
         cfg, prob, young32, smoother=settings.smoother,
-        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
+        use_pallas=use_pallas,
         cached_ke_dtype=settings.cached_ke_dtype)
     lv0 = levels[0]
 
@@ -894,10 +895,31 @@ def _mgpcg_solve_refined(
     def zero_d64(v):
         return jnp.where(lv0.dirichlet_mask, 0.0, v)
 
-    def residual64(u):
-        return zero_d64(
-            prob.force.astype(f64) - ops.apply_k(u, young64, K0_64, lv0.grid)
-        )
+    if use_pallas and settings.tol >= 1e-6:
+        # two-float fused residual apply: ~4x cheaper than the
+        # software-emulated float64 XLA apply (v5e has no native f64),
+        # accurate to ~1e-11 relative — plenty for production tolerances;
+        # deeper-tol solves keep the exact f64 apply
+        # (see pallas_kernels.apply_k_pallas_df)
+        from ndr_tpu.fem import pallas_kernels as pk
+
+        y_hi = young64.astype(f32)
+        y_lo = (young64 - y_hi.astype(f64)).astype(f32)
+        force64 = prob.force.astype(f64)
+
+        def residual64(u):
+            u_hi = u.astype(f32)
+            u_lo = (u - u_hi.astype(f64)).astype(f32)
+            ku = pk.apply_k_pallas_df(
+                u_hi, u_lo, y_hi, y_lo, np.asarray(cfg.K0), lv0.grid
+            )
+            return zero_d64(force64 - ku)
+    else:
+        def residual64(u):
+            return zero_d64(
+                prob.force.astype(f64)
+                - ops.apply_k(u, young64, K0_64, lv0.grid)
+            )
 
     def apply_a32(v):
         return _zero_dirichlet(lv0, _apply_k_level(lv0, _zero_dirichlet(lv0, v)))

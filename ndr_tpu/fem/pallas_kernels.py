@@ -214,3 +214,263 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
             full = full.at[T: nslabs * T: T].add(last[:-1])
         comps.append(full[: nx + 1])         # drop padded node planes
     return jnp.stack(comps, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Double-single (two-float) stiffness apply: float64-accurate residuals
+# on a chip with no native f64.
+#
+# The mixed-precision refinement loop (multigrid._mgpcg_solve_refined)
+# needs ONE true residual r = b - K u per solve, accurate well below the
+# fp32 noise floor eps*|K||u| (cancellation in the assembly makes |r|
+# orders of magnitude smaller than the local element forces). XLA's
+# float64 apply delivers that via software-emulated f64 — measured
+# 262 ms vs 6.8 ms for the fp32 Pallas apply at 4.19M voxels. This
+# kernel reaches ~1e-11 relative accuracy with fp32 vector arithmetic:
+#
+#   * u and young travel as (hi, lo) fp32 pairs (an exact split of the
+#     f64 values);
+#   * each K0 coefficient is split at trace time into k_hi + k_lo
+#     (exact), and k_hi further bitmask-split into 12-bit halves so all
+#     large products are EXACT half-products (12bit x 12bit fits fp32);
+#   * exact half-products accumulate with Knuth TwoSum on the high
+#     parts; all small terms (cross half-products, k_hi*u_lo, k_lo*u_hi,
+#     young cross terms) accumulate in a separate low register whose
+#     naive adds set the ~2^-36-of-local-magnitude accuracy floor.
+#
+# Per-element cost is ~10x the plain fp32 contraction — still ~4x
+# cheaper than emulated f64, and it keeps the fused single-pass HBM
+# profile.
+# ---------------------------------------------------------------------------
+
+# COMPILER-SAFETY NOTE. Classic error-free transforms (Dekker TwoProd,
+# Veltkamp splitting) assume every consumer of a product sees the SAME
+# rounded value. XLA's fusion DUPLICATION breaks that: a producer like
+# p = kh*v is freely re-materialized inside several consumer fusions,
+# and each copy may contract into an FMA (unrounded product) -- so "p"
+# has multiple inconsistent realizations and the extracted error terms
+# are garbage. Measured: the Dekker formulation loses its entire
+# correction under jit (7.6e-8 rel err -- the plain fp32 noise floor --
+# vs 1.7e-12 evaluated eagerly), and optimization_barrier does NOT stop
+# fusion duplication. The formulation below is immune BY CONSTRUCTION:
+#
+#   * operands are split with BITMASK splitting (integer and), which
+#     contains no mul+add pattern to contract and recomputes
+#     bit-identically;
+#   * the only products that must be error-free are 12bit x 12bit =
+#     exact in fp32 -- an FMA contraction of an exact product changes
+#     nothing;
+#   * TwoSum chains are pure adds/subs, which also recompute
+#     bit-identically.
+#
+# Inexact products appear only on terms whose magnitude is already
+# O(eps) relative (k_hi*u_lo etc.), where a contraction-induced ulp
+# wobble is O(eps^2).
+
+_MASK12 = np.uint32(0xFFFFF000)  # sign + exponent + top 11 mantissa bits
+
+
+def _split12(x):
+    """Exact split x = x1 + x2, each half a <=12-bit mantissa (fp32).
+
+    x1 truncates the low 12 mantissa bits; x2 = x - x1 is exact, so
+    products of two halves are exactly representable in fp32."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    x1 = jax.lax.bitcast_convert_type(xi & _MASK12, jnp.float32)
+    return x1, x - x1
+
+
+def _split12_const(k) -> tuple:
+    """Trace-time bitmask split of an fp32 constant."""
+    k = np.float32(k)
+    k1 = np.frombuffer(
+        (np.frombuffer(k.tobytes(), np.uint32) & _MASK12).tobytes(),
+        np.float32,
+    )[0]
+    return k1, np.float32(k - k1)
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (pure adds: fusion-safe)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _df_kernel_body(ndim, npe, T, K0r, rest_elems, refs):
+    """One x-slab of the two-float stiffness apply."""
+    n_in = 2 * ndim  # (hi, lo) per displacement component
+    uA = refs[:n_in]
+    uB = refs[n_in: 2 * n_in]
+    yh_ref, yl_ref = refs[2 * n_in], refs[2 * n_in + 1]
+    out_refs = refs[2 * n_in + 2:]   # ndim (hi, lo) pairs interleaved
+
+    Eh, El = yh_ref[...], yl_ref[...]
+    offs = list(itertools.product((0, 1), repeat=ndim))
+
+    u_slab = [
+        jnp.concatenate([uA[i][...], uB[i][...][:1]], axis=0)
+        for i in range(n_in)
+    ]
+
+    def view(b, i):
+        o = offs[b]
+        idx = (slice(o[0], o[0] + T),) + tuple(
+            slice(o[k], o[k] + rest_elems[k - 1]) for k in range(1, ndim)
+        )
+        return u_slab[i][idx]
+
+    # per-(b,d) element views of u_hi (with their 12-bit halves) / u_lo
+    uh, uh1, uh2, ul = {}, {}, {}, {}
+    for b in range(npe):
+        for d in range(ndim):
+            v = view(b, 2 * d)
+            uh[b, d] = v
+            uh1[b, d], uh2[b, d] = _split12(v)
+            ul[b, d] = view(b, 2 * d + 1)
+
+    # 12-bit halves of the young high part (shared by all 24 outputs)
+    Eh1, Eh2 = _split12(Eh)
+
+    for r in out_refs:
+        r[...] = jnp.zeros_like(r)
+
+    for a in range(npe):
+        oa = offs[a]
+        out_idx = (0, slice(oa[0], oa[0] + T)) + tuple(
+            slice(oa[k], oa[k] + rest_elems[k - 1]) for k in range(1, ndim)
+        )
+        for c in range(ndim):
+            S = None   # high accumulator (TwoSum chain of exact products)
+            L = None   # low accumulator (small terms, naive adds)
+            for b in range(npe):
+                for d in range(ndim):
+                    k64 = float(K0r[a, c, b, d])
+                    if k64 == 0.0:
+                        continue
+                    kh = np.float32(k64)
+                    kl = np.float32(k64 - float(kh))
+                    k1, k2 = _split12_const(kh)
+                    v, v1, v2, vl = uh[b, d], uh1[b, d], uh2[b, d], ul[b, d]
+                    # four exact half-products; only h11 is large
+                    h11 = k1 * v1
+                    small = (k1 * v2 + k2 * v1) + k2 * v2 + kh * vl
+                    if kl != 0.0:
+                        small = small + kl * v
+                    if S is None:
+                        S, L = h11, small
+                    else:
+                        S, err = _two_sum(S, h11)
+                        L = L + (err + small)
+            # F = (Eh + El) * (S + L) via exact half-products
+            S1, S2 = _split12(S)
+            P = Eh1 * S1
+            Flo = (Eh1 * S2 + Eh2 * S1) + Eh2 * S2 + Eh * L + El * S
+            # accumulate into the (hi, lo) output with a TwoSum carry
+            hi_ref, lo_ref = out_refs[2 * c], out_refs[2 * c + 1]
+            cur = hi_ref[out_idx]
+            s, err = _two_sum(cur, P)
+            hi_ref[out_idx] = s
+            lo_ref[out_idx] = lo_ref[out_idx] + (err + Flo)
+
+
+def apply_k_pallas_df(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
+                      slab: int = 8, interpret: bool = False):
+    """Two-float fused stiffness apply: returns (f_hi, f_lo) fp32 arrays
+    whose (f64) sum matches the float64 ``operators.apply_k`` to ~1e-11
+    relative (floor: 2^-36 of the local force magnitude — the lo stream
+    accumulates naively; see the compiler-safety note above).
+
+    Inputs are exact fp32 splits: ``u = u_hi + u_lo`` (nodes..., N),
+    ``young = young_hi + young_lo`` (dims...). See the module comment
+    block; used by the mixed-precision refinement's true-residual
+    measurement (reference criterion: MultigridSolver.hh:704-708).
+    """
+    if grid.degree != 1:
+        raise NotImplementedError("pallas applyK supports degree-1 elements")
+    ndim = grid.ndim
+    npe = grid.nodes_per_elem
+    K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
+
+    nx = grid.dims[0]
+    rest_elems0 = grid.dims[1:]
+    rest_nodes = tuple(n + 1 for n in rest_elems0)
+    # double the modeled plane footprint: hi+lo streams and the split
+    # temporaries roughly double the scoped-VMEM pressure vs fp32
+    T = _pick_slab_for_vmem(rest_nodes, np.float64, slab)
+    pad = _pad_to_multiple(nx, T)
+    if pad:
+        grid = grid.with_dims((nx + pad,) + grid.dims[1:])
+        padn = [(0, pad)] + [(0, 0)] * (u_hi.ndim - 1)
+        pade = [(0, pad)] + [(0, 0)] * (young_hi.ndim - 1)
+        u_hi, u_lo = jnp.pad(u_hi, padn), jnp.pad(u_lo, padn)
+        young_hi, young_lo = jnp.pad(young_hi, pade), jnp.pad(young_lo, pade)
+
+    nslabs = grid.dims[0] // T
+    rest_elems = grid.dims[1:]
+    f32 = jnp.float32
+    # interleave (hi, lo) per component
+    u_comps = []
+    for d in range(ndim):
+        u_comps += [u_hi[..., d].astype(f32), u_lo[..., d].astype(f32)]
+
+    row_pad = (nslabs + 1) * T - (grid.dims[0] + 1)
+    u_comps = [
+        jnp.pad(c, [(0, row_pad)] + [(0, 0)] * (ndim - 1)) for c in u_comps
+    ]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nslabs, T + 1) + rest_nodes, f32)
+        for _ in range(2 * ndim)
+    ]
+
+    kernel = functools.partial(
+        _df_kernel_body, ndim, npe, T, K0r, rest_elems
+    )
+
+    def wrapped(*refs):
+        kernel(refs)
+
+    def _imap(lead_shift, n_zeros):
+        def imap(i):
+            return (i + lead_shift,) + tuple(
+                jnp.int32(0) for _ in range(n_zeros)
+            )
+        return imap
+
+    u_block = (T,) + rest_nodes
+    slab_spec = pl.BlockSpec(u_block, _imap(0, ndim - 1))
+    next_spec = pl.BlockSpec(u_block, _imap(1, ndim - 1))
+    e_spec = pl.BlockSpec((T,) + rest_elems, _imap(0, ndim - 1))
+    out_specs = [
+        pl.BlockSpec((1, T + 1) + rest_nodes, _imap(0, ndim))
+        for _ in range(2 * ndim)
+    ]
+
+    outs = pl.pallas_call(
+        wrapped,
+        out_shape=out_shape,
+        grid=(nslabs,),
+        in_specs=[slab_spec] * (2 * ndim) + [next_spec] * (2 * ndim)
+        + [e_spec, e_spec],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*u_comps, *u_comps, young_hi.astype(f32), young_lo.astype(f32))
+
+    # epilogue in f64 (a handful of plane adds): stitch slabs and combine
+    # hi+lo — exactness of the fp32 carry chain ends here anyway
+    comps = []
+    for d in range(ndim):
+        partial = (outs[2 * d].astype(jnp.float64)
+                   + outs[2 * d + 1].astype(jnp.float64))
+        body = partial[:, :T].reshape((nslabs * T,) + partial.shape[2:])
+        last = partial[:, T]
+        full = jnp.concatenate([body, last[-1][None]], axis=0)
+        if nslabs > 1:
+            full = full.at[T: nslabs * T: T].add(last[:-1])
+        comps.append(full[: nx + 1])
+    return jnp.stack(comps, axis=-1)
