@@ -35,6 +35,12 @@ class MLPConfig:
     embedding_size: int = 256
     scale: float = 0.0                      # sigma of the Fourier features
     output_activation: Optional[str] = None  # None | "sigmoid"
+    # per-op matmul precision for the network's dots. The solver sets the
+    # GLOBAL default to "highest" (6-pass bf16 — true-fp32 contraction,
+    # which MGPCG genuinely needs); the MLP does not: "high" (3-pass
+    # bf16, ~fp32 accuracy) halves its MXU cost with no observable effect
+    # on the optimization. Set "highest" for bit-level parity studies.
+    matmul_precision: str = "high"
 
 
 def _orthogonal(key, shape, gain, dtype):
@@ -62,9 +68,10 @@ def init_mlp(key: jax.Array, cfg: MLPConfig, dtype=jnp.float32):
     return {"layers": layers}, {"B": B}
 
 
-def fourier_encode(x: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+def fourier_encode(x: jnp.ndarray, B: jnp.ndarray,
+                   precision=None) -> jnp.ndarray:
     """[sin(2 pi x B^T), cos(2 pi x B^T)] (reference: networks.py:182-184)."""
-    proj = (2.0 * jnp.pi * x) @ B.T
+    proj = jnp.matmul(2.0 * jnp.pi * x, B.T, precision=precision)
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
@@ -77,10 +84,11 @@ def mlp_apply(params, buffers, x: jnp.ndarray, cfg: MLPConfig,
     random fraction of each hidden layer's outputs (reference:
     networks.py:209-234 register_gated_activations via forward hooks).
     """
-    h = fourier_encode(x, buffers["B"])
+    prec = cfg.matmul_precision
+    h = fourier_encode(x, buffers["B"], precision=prec)
     layers = params["layers"]
     for i, lyr in enumerate(layers):
-        h = h @ lyr["w"].T + lyr["b"]
+        h = jnp.matmul(h, lyr["w"].T, precision=prec) + lyr["b"]
         if i < len(layers) - 1:
             if activation_masks is not None:
                 h = h * activation_masks[i].astype(h.dtype)
@@ -166,14 +174,15 @@ def multihead_apply(params, buffers, x, head_idx: int, cfg: MLPConfig,
     mask per trunk layer output) implements the continual-learning gated
     activations on the shared trunk (reference: networks.py:209-234,
     applied to MultiHeadedMLP's trunk via the same forward hooks)."""
-    h = fourier_encode(x, buffers["B"])
+    prec = cfg.matmul_precision
+    h = fourier_encode(x, buffers["B"], precision=prec)
     for i, lyr in enumerate(params["trunk"]):
-        h = h @ lyr["w"].T + lyr["b"]
+        h = jnp.matmul(h, lyr["w"].T, precision=prec) + lyr["b"]
         if activation_masks is not None:
             h = h * activation_masks[i].astype(h.dtype)
         h = jax.nn.relu(h)
     head = params["heads"][head_idx]
-    return h @ head["w"].T + head["b"]
+    return jnp.matmul(h, head["w"].T, precision=prec) + head["b"]
 
 
 def change_scale_value(buffers, scale: float):
