@@ -1,27 +1,36 @@
-"""Headline benchmark: classic SIMP OC iteration rate on 2D MBB 300x100.
+"""Benchmark harness: classic + neural optimization throughput vs the
+reference's committed Slurm-log numbers (BASELINE.md).
 
-Mirrors the reference's flagship logged run (logs/slurm/gt/2dMbb300x100.log:
-1500 OC iterations in 241.3s => ~0.16 s/iter on a 128-core CPU node;
-BASELINE.md row 1-2). Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where value is seconds per OC iteration (lower is better) and vs_baseline
-is the speedup factor over the reference's 0.1609 s/iter.
+Sub-benchmarks (all measured steady-state, compile excluded):
+  1. 2D MBB 300x100 classic SIMP-OC          (ref 241.3s/1500it = 0.1609 s/iter,
+                                              logs/slurm/gt/2dMbb300x100.log)
+  2. 3D cantilever_flexion 192x96x96 classic (ref extrapolated per-voxel from
+     SIMP-OC, mgl=3, Pallas                   c1001.log: 2.8 s/iter at 4.19M vox
+                                              -> 1.182 s/iter at 1.77M vox)
+  3. neural FF-MLP TO, 3D bridge 64x32x16    (ref 1.11 it/s = 0.90 s/iter,
+     (1024-FF/512x4, maxed_barrier, mgl=3)    logs/slurm/ff/test.log)
+
+Prints ONE JSON line; `value` is the headline 3D classic s/iter (the
+capability the paper scales on), `vs_baseline` its speedup; per-bench
+numbers are in `extra`. Set NDR_BENCH_FULL=1 to add the exact-config
+256x128x128 run (ref 2.8 s/iter) — ~20 min cold compile at 4.19M voxels.
 """
 
 import json
+import os
 import sys
 import time
 
 
-BASELINE_SEC_PER_ITER = 241.288 / 1500.0  # reference wall-clock / OC iters
+REF_2D_S_PER_ITER = 241.288 / 1500.0          # 2dMbb300x100.log
+REF_3D_256_S_PER_ITER = 2.8                   # c1001.log steady average
+REF_3D_192_S_PER_ITER = 2.8 / (256 * 128 * 128) * (192 * 96 * 96)  # 1.182
+REF_NEURAL64_S_PER_ITER = 1.0 / 1.11          # ff/test.log
 
 
-def main():
+def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto"):
     import jax
     import jax.numpy as jnp
-
-    from ndr_tpu.utils.jax_setup import setup
-    setup()
 
     from ndr_tpu.fem import multigrid as mg
     from ndr_tpu.fem import topopt
@@ -29,12 +38,12 @@ def main():
     from ndr_tpu.io.problem import load_problem
     from ndr_tpu.ops import filters as flt
 
-    cfg = load_problem("problems/2d/mbb_beam.json")
-    prob, grid = problem_from_config(cfg, dtype=jnp.float32)
+    cfg = load_problem(prob_path)
+    prob, grid = problem_from_config(cfg, dims=dims, dtype=jnp.float32)
     settings = mg.MGSolverSettings(
-        num_levels=2, cg_iter=100, tol=1e-4,
+        num_levels=mgl, cg_iter=100, tol=1e-4,
         mg_iterations=1, mg_smoothing_iterations=2, full_multigrid=True,
-        smoother="chebyshev", cheb_degree=2,
+        smoother="chebyshev", cheb_degree=2, use_pallas=use_pallas,
     )
     solve = mg.make_mg_solver(prob, settings)
     top = topopt.TopologyOptimizationProblem(
@@ -43,34 +52,105 @@ def main():
         max_volume=cfg.max_volume,
         solve=solve,
     )
-    state = topopt.oc_init(top, jnp.full(grid.dims, cfg.max_volume, prob.force.dtype))
+    state = topopt.oc_init(top, jnp.full(grid.dims, cfg.max_volume,
+                                         prob.force.dtype))
     step = jax.jit(lambda s: topopt.oc_step(top, s))
 
-    # warm up (compile) + a few steps to reach steady-state CG counts
     state, metrics = step(state)
     jax.block_until_ready(state.x)
-    for _ in range(10):
+    for _ in range(warm):
         state, metrics = step(state)
     jax.block_until_ready(state.x)
 
-    n = 50
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = step(state)
     jax.block_until_ready(state.x)
-    sec_per_iter = (time.perf_counter() - t0) / n
+    sec = (time.perf_counter() - t0) / n
+    return sec, 2.0 * float(metrics["compliance"])
 
-    compliance = 2.0 * float(metrics["compliance"])
+
+def _neural_bench(warm=40, n=60):
+    """Steady-state neural step rate at the reference's like-for-like
+    config (the warm phase hardens the design so CG counts are realistic;
+    round-1's from-init measurement overstated throughput 2.5x)."""
+    import jax
+
+    from ndr_tpu.io.problem import load_problem
+    from ndr_tpu.training.neural import NeuralTOConfig, build_trainer
+
+    cfg = load_problem("problems/3d/bridge.json")
+    import dataclasses
+    cfg = dataclasses.replace(cfg, max_volume=0.4)
+    ncfg = NeuralTOConfig(
+        embedding_size=1024, n_neurons=512, n_layers=4,
+        volume_constraint_satisfier="maxed_barrier", multigrid_levels=2,
+        seed=cfg.seed,
+    )
+    state, train_step, aux = build_trainer(cfg, ncfg, dims=(64, 32, 16))
+    state, metrics = train_step(state)
+    jax.block_until_ready(state.u)
+    for _ in range(warm):
+        state, metrics = train_step(state)
+    jax.block_until_ready(state.u)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = train_step(state)
+    jax.block_until_ready(state.u)
+    sec = (time.perf_counter() - t0) / n
+    return sec, float(metrics["compliance"])
+
+
+def main():
+    import jax
+
+    from ndr_tpu.utils.jax_setup import setup
+    setup()
+
+    extra = {"device": str(jax.devices()[0])}
+
+    s2d, c2d = _classic_bench("problems/2d/mbb_beam.json", None, 2,
+                              warm=10, n=50)
+    extra["classic_2d_mbb_300x100"] = {
+        "s_per_iter": round(s2d, 5), "ref_s_per_iter": round(REF_2D_S_PER_ITER, 4),
+        "speedup": round(REF_2D_S_PER_ITER / s2d, 2),
+        "compliance_at_measurement": round(c2d, 2),
+    }
+
+    sn, cn = _neural_bench()
+    extra["neural_3d_bridge_64x32x16"] = {
+        "s_per_iter": round(sn, 5), "ref_s_per_iter": round(REF_NEURAL64_S_PER_ITER, 4),
+        "speedup": round(REF_NEURAL64_S_PER_ITER / sn, 2),
+        "compliance_at_measurement": round(cn, 2),
+        "note": "steady-state after 40 hardening steps (it/s from init is ~2.5x higher)",
+    }
+
+    s3d, c3d = _classic_bench("problems/3d/cantilever_flexion.json",
+                              (192, 96, 96), 3, warm=5, n=20)
+    extra["classic_3d_cantilever_192x96x96"] = {
+        "s_per_iter": round(s3d, 5),
+        "ref_s_per_iter": round(REF_3D_192_S_PER_ITER, 4),
+        "ref_basis": "per-voxel extrapolation of c1001.log (2.8 s/iter at 4.19M voxels)",
+        "speedup": round(REF_3D_192_S_PER_ITER / s3d, 2),
+        "compliance_at_measurement": round(c3d, 2),
+    }
+
+    if os.environ.get("NDR_BENCH_FULL"):
+        s256, c256 = _classic_bench("problems/3d/cantilever_flexion.json",
+                                    (256, 128, 128), 3, warm=3, n=10)
+        extra["classic_3d_cantilever_256x128x128"] = {
+            "s_per_iter": round(s256, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
+            "speedup": round(REF_3D_256_S_PER_ITER / s256, 2),
+            "compliance_at_measurement": round(c256, 2),
+        }
+
     result = {
-        "metric": "2D MBB 300x100 SIMP-OC optimization (MGPCG tol=1e-4), seconds per OC iteration",
-        "value": round(sec_per_iter, 6),
+        "metric": "3D cantilever_flexion 192x96x96 classic SIMP-OC (MGPCG mgl=3 "
+                  "tol=1e-4, fused Pallas stiffness), seconds per OC iteration",
+        "value": round(s3d, 5),
         "unit": "s/iter",
-        "vs_baseline": round(BASELINE_SEC_PER_ITER / sec_per_iter, 3),
-        "extra": {
-            "baseline_s_per_iter": round(BASELINE_SEC_PER_ITER, 4),
-            "compliance_at_measurement": round(compliance, 3),
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(REF_3D_192_S_PER_ITER / s3d, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 
