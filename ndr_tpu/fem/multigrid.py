@@ -562,9 +562,14 @@ def build_level_states(
             # The bound is exact-at-high-contrast on the fine level; the
             # 1.2x inflation absorbs power iteration's slow from-below
             # convergence on multi-million-node grids (see
-            # _pencil_lmax_bound).
+            # _pencil_lmax_bound). power_iters=0 uses the bound alone —
+            # a trace-time constant: no stiffness applies at hierarchy
+            # build, fewer traced apply instances (compile time).
             bound = cfg.lmax_bounds.get(l)
-            est = (1.2 / 1.05) * _estimate_lmax(lv, power_iters)
+            if power_iters <= 0 and bound is not None:
+                lv.lmax = jnp.asarray(bound, lv.Minv_rows.dtype)
+                continue
+            est = (1.2 / 1.05) * _estimate_lmax(lv, max(power_iters, 1))
             lv.lmax = est if bound is None else jnp.minimum(
                 jnp.asarray(bound, est.dtype), est)
     return states
@@ -793,6 +798,10 @@ class MGSolverSettings:
     # elements' rigid-body null space — the same ~1e5x amplification that
     # forces K0 to stay float64), so the default keeps float32.
     cached_ke_dtype: Optional[str] = None
+    # power-iteration budget for the Chebyshev lambda_max estimate
+    # (min'ed with the guaranteed pencil bound); 0 = use the bound alone
+    # (a trace-time constant: no applies at hierarchy build)
+    lmax_power_iters: int = 8
     # "mg" = multigrid V-cycle/FMG preconditioner; "jacobi" = block-Jacobi
     # PCG with no hierarchy. The reference shares our divisibility
     # constraint (MultigridSolver.hh:37: grid must be divisible by
@@ -827,6 +836,7 @@ def mgpcg_solve(
     young = prob.young(rho)
     levels = build_level_states(
         cfg, prob, young, smoother=settings.smoother,
+        power_iters=settings.lmax_power_iters,
         use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
         cached_ke_dtype=settings.cached_ke_dtype)
 
@@ -883,6 +893,7 @@ def _mgpcg_solve_refined(
     use_pallas = resolve_use_pallas(settings.use_pallas, prob.grid)
     levels = build_level_states(
         cfg, prob, young32, smoother=settings.smoother,
+        power_iters=settings.lmax_power_iters,
         use_pallas=use_pallas,
         cached_ke_dtype=settings.cached_ke_dtype)
     lv0 = levels[0]
