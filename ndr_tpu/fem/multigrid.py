@@ -336,6 +336,56 @@ def build_level_stiffness(
     return out
 
 
+def _child_w_stack(ndim: int) -> np.ndarray:
+    """(2^N, npe, npe) child interpolation weights W[r, a, A] = coarse
+    trilinear basis A evaluated at fine node a of the child cell at
+    relative position r — r in C order over the position tuple (the
+    :func:`pooled_young` grouping convention)."""
+    local = np.array(list(itertools.product((0, 1), repeat=ndim)))
+    rs = list(itertools.product((0, 1), repeat=ndim))
+    out = np.zeros((len(rs), len(local), len(local)))
+    for ri, r in enumerate(rs):
+        for a_i, a in enumerate(local):
+            p = (np.asarray(r) + a) / 2.0
+            for A_i, A in enumerate(local):
+                w = 1.0
+                for d in range(ndim):
+                    w *= p[d] if A[d] == 1 else (1.0 - p[d])
+                out[ri, a_i, A_i] = w
+    return out
+
+
+def coarsen_ke(Ke_prev: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """One-level Galerkin coarsening of per-element stiffness matrices:
+    Ke_l[e] = sum_r W_r^T Ke_{l-1}[2e+r] W_r.
+
+    Exactly equals the direct deep-coarsened construction (trilinear
+    spaces are nested, so P_{0->l} = P_{0->l-1} P_{l-1->l}), but its
+    trace-time constant is the fixed (2^N, npe, npe) child stack instead
+    of the ((2^l)^N, d, d) deep stack — 75 MB at level 5 of a 256-class
+    grid — and the per-element contraction is 2^N small matmuls instead
+    of a (2^l)^N-term weighted sum."""
+    npe = 1 << ndim
+    d = npe * ndim
+    dims_prev = Ke_prev.shape[:-2]
+    # group 2x2(x2) children like pooled_young (s=2, C order)
+    shape = []
+    for n in dims_prev:
+        shape += [n // 2, 2]
+    x = Ke_prev.reshape(shape + [d, d])
+    perm = (list(range(0, 2 * ndim, 2)) + list(range(1, 2 * ndim, 2))
+            + [2 * ndim, 2 * ndim + 1])
+    x = x.transpose(perm)
+    coarse = tuple(n // 2 for n in dims_prev)
+    x = x.reshape(coarse + (npe, npe, ndim, npe, ndim))  # (..., r, a,c,b,e)
+    W = jnp.asarray(_child_w_stack(ndim), Ke_prev.dtype)
+    out = jnp.einsum(
+        "...racbe,raA,rbB->...AcBe", x, W, W,
+        preferred_element_type=Ke_prev.dtype,
+    )
+    return out.reshape(coarse + (d, d))
+
+
 def build_level_ke(cfg: MGConfig, young: jnp.ndarray, level: int) -> jnp.ndarray:
     """Level-l Galerkin element stiffnesses *directly* from the fine
     modulus field: one MXU matmul (ne_l, R) @ (R, d*d) with the
@@ -525,7 +575,15 @@ def build_level_states(
             M = ops.node_diag_blocks(young, cfg.K0, lev.grid)
         else:
             if kind == "cached":
-                Ke = build_level_ke(cfg, young, l)
+                prev_ke = states[-1].Ke if l >= 2 else None
+                if prev_ke is not None:
+                    # recursive Galerkin from the finer cached level:
+                    # avoids the deep c_stack constants (see coarsen_ke)
+                    Ke = coarsen_ke(
+                        prev_ke.astype(young.dtype), lev.grid.ndim
+                    )
+                else:
+                    Ke = build_level_ke(cfg, young, l)
                 M = ops.node_diag_blocks_cached(Ke, lev.grid)
                 if (
                     cached_ke_dtype

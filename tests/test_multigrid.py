@@ -285,3 +285,19 @@ def test_fp32_coarse_factorization_near_singular_grids():
         c32 = float(jnp.vdot(prob32.force, u))
         c64 = float(jnp.vdot(prob.force, u64))
         assert abs(c32 - c64) / abs(c64) < 5e-3, dims
+
+
+def test_recursive_galerkin_ke_matches_direct():
+    """coarsen_ke (recursive, tiny constants) must equal the direct
+    deep-coarsened-stack construction: trilinear spaces are nested so
+    P_{0->l} = P_{0->l-1} P_{l-1->l} exactly."""
+    cfg = load_problem("problems/3d/cantilever_flexion.json")
+    prob, grid = problem_from_config(cfg, dims=(16, 8, 8), dtype=jnp.float64)
+    mcfg = mg.build_mg_config(prob, 3)
+    rng = np.random.default_rng(3)
+    young = jnp.asarray(rng.uniform(1e-4, 1.0, grid.dims))
+    for l in (2, 3):
+        direct = mg.build_level_ke(mcfg, young, l)
+        rec = mg.coarsen_ke(mg.build_level_ke(mcfg, young, l - 1), 3)
+        err = float(jnp.abs(rec - direct).max() / jnp.abs(direct).max())
+        assert err < 1e-12, (l, err)
