@@ -94,7 +94,9 @@ def evaluate_model_at_resolution(
     the paper's mesh-independence evaluation (eval_fourfeat.py:100-133)."""
     prob, grid, compliance = make_compliance_evaluator(cfg, test_dims, **solver_kwargs)
     coords = get_mgrid(grid.dims, dtype=prob.force.dtype)
-    out = models.mlp_apply(params, buffers, coords, mlp_cfg)[..., 0]
+    # chunked: the full-grid Fourier embedding is (N, 2*embed) — 34 GB at
+    # a 4.2M-voxel test resolution with 1024 features
+    out = models.mlp_apply_chunked(params, buffers, coords, mlp_cfg)[..., 0]
     if vol.is_hard_mode(volume_constraint_satisfier):
         rho = vol.satisfy_volume_constraint(
             out, cfg.max_volume, mode=volume_constraint_satisfier
