@@ -46,8 +46,17 @@ def make_compliance_evaluator(
     """Fresh simulator + solver at the test resolution.
 
     Defaults mirror eval_fourfeat.py:148-152 (mgl=1, tol=1e-7,
-    mgIterations=2).
+    mgIterations=2). On a TPU backend the default dtype is float32 (the
+    mixed-precision refinement delivers f64-grade residuals; a plain
+    float64 solve would run on emulated arithmetic); elsewhere float64.
     """
+    if dtype is None:
+        try:
+            d = jax.devices()[0]
+            on_tpu = "tpu" in f"{d.platform} {d.device_kind}".lower()
+        except Exception:
+            on_tpu = False
+        dtype = jnp.float32 if on_tpu else None
     prob, grid = problem_from_config(cfg, dims=dims, dtype=dtype)
     settings = mg.MGSolverSettings(
         num_levels=multigrid_levels, cg_iter=200, tol=tol,

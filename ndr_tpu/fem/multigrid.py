@@ -566,6 +566,9 @@ def build_level_states(
     smoother: str = "gs", power_iters: int = 8, use_pallas: bool = False,
     cached_ke_dtype: Optional[str] = None,
 ) -> List[LevelState]:
+    # the fused Pallas kernel is fp32-only (TPUs have no native f64);
+    # float64 problems take the XLA apply
+    use_pallas = use_pallas and young.dtype == jnp.float32
     states = []
     last = cfg.num_levels - 1
     for l, lev in enumerate(cfg.levels):
