@@ -123,7 +123,10 @@ def ground_truth_topopt(
         history = [2.0 * c for c in res.history]
         state = dataclasses.replace(state, x=jnp.asarray(res.x))
     else:
-        step = jax.jit(lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol))
+        # donate the state: x/physical fields alias in place, halving
+        # peak HBM for the two large per-voxel buffers at 4M+ voxels
+        step = jax.jit(lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol),
+                       donate_argnums=0)
         t_iter = t_start
         with timers.section("OC optimization"):
             for idx in range(max_iter):
