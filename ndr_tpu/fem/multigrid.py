@@ -571,6 +571,11 @@ def build_level_states(
     use_pallas = use_pallas and young.dtype == jnp.float32
     states = []
     last = cfg.num_levels - 1
+    # full-precision Ke of the previous cached level, kept for recursive
+    # Galerkin even when LevelState stores a cached_ke_dtype downcast
+    # (coarsening a downcast Ke would compound the rounding level-over-
+    # level through the rigid-body null space — see MGSolverSettings)
+    prev_full_ke = None
     for l, lev in enumerate(cfg.levels):
         kind = cfg.level_kind(l)
         Ke = None
@@ -578,16 +583,16 @@ def build_level_states(
             M = ops.node_diag_blocks(young, cfg.K0, lev.grid)
         else:
             if kind == "cached":
-                prev_ke = states[-1].Ke if l >= 2 else None
-                if prev_ke is not None:
+                if prev_full_ke is not None and l >= 2:
                     # recursive Galerkin from the finer cached level:
                     # avoids the deep c_stack constants (see coarsen_ke)
                     Ke = coarsen_ke(
-                        prev_ke.astype(young.dtype), lev.grid.ndim
+                        prev_full_ke.astype(young.dtype), lev.grid.ndim
                     )
                 else:
                     Ke = build_level_ke(cfg, young, l)
                 M = ops.node_diag_blocks_cached(Ke, lev.grid)
+                prev_full_ke = Ke
                 if (
                     cached_ke_dtype
                     and l != last
@@ -597,6 +602,8 @@ def build_level_states(
             else:
                 ke_diag = build_level_ke_diag(cfg, young, l)
                 M = ops.node_diag_blocks_from_elem_diag(ke_diag, lev.grid)
+                # recursion only valid from the immediately-finer level
+                prev_full_ke = None
         states.append(
             LevelState(
                 grid=lev.grid,

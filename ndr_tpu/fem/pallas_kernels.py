@@ -44,13 +44,27 @@ def _pad_to_multiple(nx: int, m: int) -> int:
     return (-nx) % m
 
 
+def _vmem_plane_bytes(rest, dtype) -> int:
+    """Bytes of one (rest...) plane as laid out in VMEM: the minor-2 dims
+    are tiled (8, 128) for fp32, so each is padded up accordingly."""
+    rest = tuple(int(r) for r in rest)
+    if len(rest) == 1:
+        padded = (-(-rest[0] // 128) * 128,)
+    else:
+        padded = rest[:-2] + (
+            -(-rest[-2] // 8) * 8,
+            -(-rest[-1] // 128) * 128,
+        )
+    return int(np.prod(padded)) * jnp.dtype(dtype).itemsize
+
+
 def _pick_slab_for_vmem(rest_nodes, dtype, requested: int) -> int:
     """Choose the slab thickness so the kernel's scoped-VMEM footprint
     stays within budget. Empirically the footprint is ~12 MB per slab
     plane-set at a 66.5 KB plane (measured on v5e: 106 MB at T=8 with
     (129,129) planes), dominated by double-buffered blocks plus the
     unrolled contraction's live temporaries."""
-    plane_bytes = int(np.prod(rest_nodes)) * jnp.dtype(dtype).itemsize
+    plane_bytes = _vmem_plane_bytes(rest_nodes, dtype)
     budget = 60e6
     for T in (requested, 8, 4, 2, 1):
         est = 106e6 * ((T + 1) / 9.0) * (plane_bytes / 66564.0)
@@ -60,38 +74,45 @@ def _pick_slab_for_vmem(rest_nodes, dtype, requested: int) -> int:
 
 
 def _kernel_body(ndim, npe, T, K0r, rest_elems, refs):
-    """One x-slab: assemble the halo'd u slab from the two blocks,
-    contract, write partial forces."""
-    uA = refs[:ndim]
-    uB = refs[ndim: 2 * ndim]
-    e_ref = refs[2 * ndim]
-    out_refs = refs[2 * ndim + 1:]
+    """One x-slab of the trailing-aligned kernel.
+
+    Inputs arrive pre-sliced into 2^(ndim-1) trailing-offset *variants*
+    (see :func:`apply_k_pallas`): variant v = (o1, .., o_{ndim-1}) holds
+    u[:, o1:o1+n1, .., d] with ELEMENT-shaped trailing dims, so every
+    in-kernel view is a full-width, lane-aligned block — no misaligned
+    lane slices, no (2^k+1)-plane padding waste. Only the leading (x)
+    dim is sliced in-kernel (free: it is a major dim).
+    """
+    nv = 1 << (ndim - 1)
+    n_in = nv * ndim
+    uA = refs[:n_in]
+    uB = refs[n_in: 2 * n_in]
+    e_ref = refs[2 * n_in]
+    out_refs = refs[2 * n_in + 1:]
 
     E = e_ref[...]  # (T, rest_elems...)
     offs = list(itertools.product((0, 1), repeat=ndim))
+    tvars = list(itertools.product((0, 1), repeat=ndim - 1))
 
-    # full halo'd slab values (T+1 planes) per component
+    # full halo'd slab values (T+1 rows) per (variant, component)
     u_slab = [
-        jnp.concatenate([uA[d][...], uB[d][...][:1]], axis=0)
-        for d in range(ndim)
+        jnp.concatenate([uA[i][...], uB[i][...][:1]], axis=0)
+        for i in range(n_in)
     ]
 
     def view(b, d):
         o = offs[b]
-        idx = (slice(o[0], o[0] + T),) + tuple(
-            slice(o[k], o[k] + rest_elems[k - 1]) for k in range(1, ndim)
-        )
-        return u_slab[d][idx]
+        vi = tvars.index(tuple(o[1:]))
+        return u_slab[vi * ndim + d][o[0]: o[0] + T]
 
     u_views = [[view(b, d) for d in range(ndim)] for b in range(npe)]
 
-    for c in range(ndim):
-        out_refs[c][...] = jnp.zeros_like(out_refs[c])
+    for r in out_refs:
+        r[...] = jnp.zeros_like(r)
     for a in range(npe):            # output local node
         oa = offs[a]
-        out_idx = (0, slice(oa[0], oa[0] + T)) + tuple(
-            slice(oa[k], oa[k] + rest_elems[k - 1]) for k in range(1, ndim)
-        )
+        vi = tvars.index(tuple(oa[1:]))
+        out_idx = (0, slice(oa[0], oa[0] + T))
         for c in range(ndim):       # output component
             acc = None
             for b in range(npe):
@@ -101,32 +122,75 @@ def _kernel_body(ndim, npe, T, K0r, rest_elems, refs):
                         continue
                     term = k * u_views[b][d]
                     acc = term if acc is None else acc + term
-            contrib = E * acc
-            cur = out_refs[c][out_idx]
-            out_refs[c][out_idx] = cur + contrib
+            ref = out_refs[vi * ndim + c]
+            cur = ref[out_idx]
+            ref[out_idx] = cur + E * acc
 
 
-def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
+def _variant_slices(u, grid: Grid, ndim: int):
+    """Slice a node field (nodes..., [comp]) into the 2^(ndim-1)
+    trailing-offset variants x ndim components, each with element-shaped
+    trailing dims (C order over the trailing offset tuple)."""
+    rest_elems = grid.dims[1:]
+    out = []
+    for tv in itertools.product((0, 1), repeat=ndim - 1):
+        for d in range(ndim):
+            sl = (slice(None),) + tuple(
+                slice(o, o + n) for o, n in zip(tv, rest_elems)
+            ) + (d,)
+            out.append(u[sl])
+    return out
+
+
+def _stitch_partials(outs, grid: Grid, nx_out: int, T: int):
+    """Combine per-(variant, comp) partial forces into the node field:
+    x-stitch the slab boundary planes, then offset-add the trailing-dim
+    variants (node = element + offset per trailing dim)."""
+    ndim = grid.ndim
+    nslabs = grid.dims[0] // T
+    tvars = list(itertools.product((0, 1), repeat=ndim - 1))
+    comps = []
+    for d in range(ndim):
+        total = None
+        for vi, tv in enumerate(tvars):
+            partial = outs[vi * ndim + d]   # (nslabs, T+1, rest_elems...)
+            body = partial[:, :T].reshape((nslabs * T,) + partial.shape[2:])
+            last = partial[:, T]            # (nslabs, rest...)
+            full = jnp.concatenate([body, last[-1][None]], axis=0)
+            if nslabs > 1:
+                # slab i's last plane adds onto slab i+1's first plane
+                full = full.at[T: nslabs * T: T].add(last[:-1])
+            full = full[: nx_out + 1]       # drop padded x planes
+            # element position e contributes to node e + tv per trailing dim
+            pad = [(0, 0)] + [(o, 1 - o) for o in tv]
+            p = jnp.pad(full, pad)
+            total = p if total is None else total + p
+        comps.append(total)
+    return jnp.stack(comps, axis=-1)
+
+
+def _apply_k_pallas_partial(u_vars, young, K0r, grid: Grid, T: int,
                             interpret: bool = False):
-    """Returns per-component partial forces of shape (nslabs, T+1, rest...)."""
+    """Returns per-(variant, comp) partial forces, each of shape
+    (nslabs, T+1, rest_elems...)."""
     ndim = grid.ndim
     npe = grid.nodes_per_elem
+    nv = 1 << (ndim - 1)
     nx = grid.dims[0]
     nslabs = nx // T
     rest_elems = grid.dims[1:]
-    rest_nodes = tuple(n + 1 for n in rest_elems)
-    dt = u_comps[0].dtype
+    dt = u_vars[0].dtype
 
     # pad the node rows so block (nslabs) of the shifted input exists:
     # rows must reach (nslabs + 1) * T
     row_pad = (nslabs + 1) * T - (nx + 1)
-    u_comps = [
-        jnp.pad(c, [(0, row_pad)] + [(0, 0)] * (ndim - 1)) for c in u_comps
+    u_vars = [
+        jnp.pad(c, [(0, row_pad)] + [(0, 0)] * (ndim - 1)) for c in u_vars
     ]
 
     out_shape = [
-        jax.ShapeDtypeStruct((nslabs, T + 1) + rest_nodes, dt)
-        for _ in range(ndim)
+        jax.ShapeDtypeStruct((nslabs, T + 1) + rest_elems, dt)
+        for _ in range(nv * ndim)
     ]
 
     kernel = functools.partial(
@@ -145,20 +209,21 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
             )
         return imap
 
-    u_block = (T,) + rest_nodes
+    u_block = (T,) + rest_elems
     slab_spec = pl.BlockSpec(u_block, _imap(0, ndim - 1))
     next_spec = pl.BlockSpec(u_block, _imap(1, ndim - 1))
     e_spec = pl.BlockSpec((T,) + rest_elems, _imap(0, ndim - 1))
     out_specs = [
-        pl.BlockSpec((1, T + 1) + rest_nodes, _imap(0, ndim))
-        for _ in range(ndim)
+        pl.BlockSpec((1, T + 1) + rest_elems, _imap(0, ndim))
+        for _ in range(nv * ndim)
     ]
 
     outs = pl.pallas_call(
         wrapped,
         out_shape=out_shape,
         grid=(nslabs,),
-        in_specs=[slab_spec] * ndim + [next_spec] * ndim + [e_spec],
+        in_specs=[slab_spec] * (nv * ndim) + [next_spec] * (nv * ndim)
+        + [e_spec],
         out_specs=out_specs,
         # the unrolled contraction keeps several slab-sized temporaries
         # live; the 16MB default scoped-vmem cap is too small in 3D
@@ -166,7 +231,7 @@ def _apply_k_pallas_partial(u_comps, young, K0r, grid: Grid, T: int,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(*u_comps, *u_comps, young)
+    )(*u_vars, *u_vars, young)
     return outs
 
 
@@ -187,33 +252,17 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
     K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
 
     nx = grid.dims[0]
-    rest_nodes = tuple(n + 1 for n in grid.dims[1:])
-    T = _pick_slab_for_vmem(rest_nodes, u.dtype, slab)
+    T = _pick_slab_for_vmem(grid.dims[1:], u.dtype, slab)
     pad = _pad_to_multiple(nx, T)
     if pad:
         grid = grid.with_dims((nx + pad,) + grid.dims[1:])
         u = jnp.pad(u, [(0, pad)] + [(0, 0)] * (u.ndim - 1))
         young = jnp.pad(young, [(0, pad)] + [(0, 0)] * (young.ndim - 1))
 
-    u_comps = [u[..., d] for d in range(ndim)]
-    outs = _apply_k_pallas_partial(u_comps, young.astype(dt), K0r, grid, T,
+    u_vars = _variant_slices(u, grid, ndim)
+    outs = _apply_k_pallas_partial(u_vars, young.astype(dt), K0r, grid, T,
                                    interpret=interpret)
-
-    # epilogue: stitch slabs, summing the shared boundary planes
-    nslabs = grid.dims[0] // T
-    comps = []
-    for d in range(ndim):
-        partial = outs[d]  # (nslabs, T+1, rest_nodes...)
-        body = partial[:, :T].reshape((nslabs * T,) + partial.shape[2:])
-        # add each slab's last plane onto the next slab's first plane
-        last = partial[:, T]                 # (nslabs, rest...)
-        full = jnp.concatenate([body, last[-1][None]], axis=0)
-        if nslabs > 1:
-            # interior shared planes: slab i's last plane adds onto
-            # slab i+1's first plane (rows T, 2T, ..., (nslabs-1)T)
-            full = full.at[T: nslabs * T: T].add(last[:-1])
-        comps.append(full[: nx + 1])         # drop padded node planes
-    return jnp.stack(comps, axis=-1)
+    return _stitch_partials(outs, grid, nx, T)
 
 
 # ---------------------------------------------------------------------------

@@ -297,8 +297,19 @@ class AdaptiveFilterState:
             x = smoothing_filter(x, int(self.radius if radius is None else radius))
         if self.use_gaussian:
             s = self.sigma if sigma is None else sigma
-            k = kernel_size or gaussian_kernel_size(float(self.sigma))
-            x = gaussian_filter(x, s, kernel_size=k)
+            if kernel_size is None:
+                # the stencil size is structural: it can only be derived
+                # from a concrete sigma. A traced sigma without an explicit
+                # kernel_size would silently size the stencil from the
+                # stale self.sigma — require the caller to pair them
+                # (dynamic_params() does).
+                if isinstance(s, jax.core.Tracer):
+                    raise ValueError(
+                        "AdaptiveFilterState.apply: a traced sigma requires "
+                        "an explicit kernel_size (use dynamic_params())"
+                    )
+                kernel_size = gaussian_kernel_size(float(s))
+            x = gaussian_filter(x, s, kernel_size=kernel_size)
         return x
 
     def dynamic_params(self, dtype=None):

@@ -299,7 +299,7 @@ def _sharded_lmax(apply_fn, dinv_fn, zero_fn, shape, dtype, iters: int = 8):
 def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                        tol: float = 1e-4, max_iter: int = 100,
                        mg_smoothing_iterations: int = 2, cheb_degree: int = 2,
-                       coarse_shift: float = 1e-5):
+                       coarse_shift: float = 1e-5, lmax_power_iters: int = 8):
     """Sharded MGPCG solve over the slab decomposition.
 
     Returns solve(u0_l, rho_l, b_l) for use inside shard_map over a
@@ -335,6 +335,16 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
         l: mg.deep_coarsened_k0s(K0, ndim, l) for l in range(1, num_levels + 1)
     }
     coarse_mask_flat = level_masks[-1].reshape(-1)
+    # Guaranteed per-level lambda_max(D^-1 K) bounds: power iteration
+    # converges from BELOW and sat ~10% under the true value at
+    # multi-million-node grids, collapsing the (Chebyshev-only) sharded
+    # smoother — the exact failure mode multigrid._pencil_lmax_bound was
+    # introduced for. The bounds depend only on K0 / the deep-coarsened
+    # component stacks (density- and shard-independent host constants),
+    # so they mirror build_level_states exactly.
+    lmax_bounds = {0: mg._pencil_lmax_bound(K0, ndim)}
+    for l in range(1, num_levels + 1):
+        lmax_bounds[l] = mg._pencil_lmax_bound(c_stacks[l], ndim)
 
     def build_levels(rho_l):
         """Per-shard level operators for one density slab."""
@@ -373,7 +383,17 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                 return jnp.where(mask_l, 0.0, z)
 
             shape = lg.nodes_per_dim + (ndim,)
-            lmax = _sharded_lmax(apply_l, dinv_l, zero_l, shape, young.dtype)
+            bound = jnp.asarray(lmax_bounds[l], young.dtype)
+            if lmax_power_iters > 0:
+                # inflated power estimate, min'ed with the guaranteed
+                # bound (the estimate tightens deep Galerkin levels where
+                # the bound is loose; the bound caps under-estimation)
+                est = (1.2 / 1.05) * _sharded_lmax(
+                    apply_l, dinv_l, zero_l, shape, young.dtype,
+                    iters=lmax_power_iters)
+                lmax = jnp.minimum(bound, est)
+            else:
+                lmax = bound
             levels.append(dict(apply=apply_l, dinv=dinv_l, zero=zero_l,
                                lmax=lmax, Ke=Ke, grid=lg))
         return levels

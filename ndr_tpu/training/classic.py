@@ -120,7 +120,8 @@ def ground_truth_topopt(
             res = _lbfgs.lbfgs_topopt(
                 top, x0, max_iter=max_iter, log=log, log_every=log_every
             )
-        history = [2.0 * c for c in res.history]
+        # res.history already carries the doubled (f^T u) convention
+        history = list(res.history)
         state = dataclasses.replace(state, x=jnp.asarray(res.x))
     else:
         # donate the state: x/physical fields alias in place, halving

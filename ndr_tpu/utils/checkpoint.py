@@ -73,9 +73,10 @@ def save_checkpoint(
     np.savez(path, **payload)
 
 
-def _restore_tree(data, prefix, template, strict_dtype=False):
+def _restore_tree(data, prefix, template):
     """Rebuild `template`'s pytree from stored leaves, validating keys and
-    shapes (and dtypes when strict)."""
+    shapes; leaves are cast to the template's dtype (an x64-saved
+    checkpoint restores cleanly into an fp32 run and vice versa)."""
     flat = jax.tree_util.tree_flatten_with_path(template)
     paths_leaves, treedef = flat
     stored = {k[len(prefix) + 1:]: k for k in data.files
@@ -99,7 +100,7 @@ def _restore_tree(data, prefix, template, strict_dtype=False):
                 f"checkpoint/{prefix}/{k}: shape {arr.shape} does not match "
                 f"template {tshape}"
             )
-        if strict_dtype and hasattr(leaf, "dtype") and arr.dtype != leaf.dtype:
+        if hasattr(leaf, "dtype") and arr.dtype != leaf.dtype:
             arr = arr.astype(leaf.dtype)
         new.append(arr)
     return jax.tree_util.tree_unflatten(treedef, new)
@@ -115,6 +116,8 @@ def _restore_tree_positional(data, prefix, template):
                 f"legacy checkpoint {prefix}/leaf_{i}: shape {a.shape} does "
                 f"not match template {np.shape(t)}"
             )
+        if hasattr(t, "dtype") and a.dtype != t.dtype:
+            new[i] = a.astype(t.dtype)
     return jax.tree_util.tree_unflatten(treedef, new)
 
 

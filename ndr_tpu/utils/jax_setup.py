@@ -23,6 +23,13 @@ def setup(cache_dir: str = None, matmul_precision: str = "highest"):
       accumulate equilibrium displacements in float64 (mixed-precision
       iterative refinement, see fem.multigrid.MGSolverSettings).
     """
+    # honor an explicit JAX_PLATFORMS request: the ambient environment
+    # (axon TPU plugin) presets jax_platforms at import time, silently
+    # overriding the env var — so `JAX_PLATFORMS=cpu <cli>` would land on
+    # the TPU (and block behind any running TPU job) without this
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
     jax.config.update("jax_default_matmul_precision", matmul_precision)
     jax.config.update("jax_enable_x64", True)
     return enable_compilation_cache(cache_dir)

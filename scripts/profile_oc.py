@@ -1,0 +1,287 @@
+"""Per-phase profile of one classic OC step at production scale.
+
+VERDICT r2 item 1: before optimizing, commit a breakdown of where the
+0.56 s/iter at 256x128x128 goes. Times each phase of the OC step as its
+own jitted program on realistic (hardened) state:
+
+  * step_total      — the full jitted oc_step
+  * objective       — MGPCG solve + compliance (warm start)
+  * grads           — adjoint objective gradient + constraint gradient
+  * hier            — build_level_states + factor_coarsest (Galerkin
+                      rebuild, diag blocks, lmax, coarse Cholesky)
+  * precond         — one MG preconditioner application (delta method:
+                      (hier + k preconds) - hier, / k)
+  * fine_apply_*    — single fine-level stiffness applies (pallas / XLA)
+  * df_residual     — two-float float64-accurate residual kernel
+  * l1_transfer     — level-1 apply as restrict(K_fine(prolong(u)))
+  * l1_ke_build /   — materializing the level-1 Galerkin Ke and applying
+    l1_cached         it (the cached alternative to l1_transfer)
+  * filter_chain    — one physical-density evaluation
+  * oc_overhead     — step_total - objective - grads (bisection etc.)
+
+`--variants` re-times the full step under alternative solver settings
+(vcycle-only preconditioner, cached level-1 Ke, bound-only lambda_max,
+chebyshev degree) to pick the production configuration.
+
+Usage:
+  python scripts/profile_oc.py --dims 256,128,128 --mgl 5 --warm 20 \
+      --phases --variants fmg0,kecache,lmax0 [--reps 20] [--out out.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from ndr_tpu.utils.jax_setup import setup
+setup()
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndr_tpu.fem import multigrid as mg
+from ndr_tpu.fem import operators as ops
+from ndr_tpu.fem import pallas_kernels as pk
+from ndr_tpu.fem import topopt
+from ndr_tpu.fem.simulator import problem_from_config
+from ndr_tpu.io.problem import load_problem
+from ndr_tpu.ops import filters as flt
+
+
+def timeit(fn, args, reps, name, results):
+    t_c0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_c0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    sec = (time.perf_counter() - t0) / reps
+    results[name] = {"s": round(sec, 6), "compile_s": round(compile_s, 2)}
+    print(f"{name:24s} {sec * 1e3:10.2f} ms   (compile {compile_s:.1f}s)",
+          flush=True)
+    return sec
+
+
+def build(args, settings_kw=None):
+    cfg = load_problem(args.prob)
+    dims = tuple(int(d) for d in args.dims.split(","))
+    prob, grid = problem_from_config(cfg, dims=dims, dtype=jnp.float32)
+    kw = dict(
+        num_levels=args.mgl, cg_iter=100, tol=1e-4, mg_iterations=1,
+        mg_smoothing_iterations=2, full_multigrid=True,
+        smoother="chebyshev", cheb_degree=2, use_pallas="auto",
+    )
+    if settings_kw:
+        kw.update(settings_kw)
+    settings = mg.MGSolverSettings(**kw)
+    solve = mg.make_mg_solver(prob, settings)
+    top = topopt.TopologyOptimizationProblem(
+        prob=prob,
+        filters=[flt.SmoothingFilter(radius=1),
+                 flt.ProjectionFilter(beta=1.0)],
+        max_volume=cfg.max_volume,
+        solve=solve,
+    )
+    return cfg, prob, grid, settings, top
+
+
+def warm_state(top, cfg, grid, prob, warm):
+    state = topopt.oc_init(
+        top, jnp.full(grid.dims, cfg.max_volume, prob.force.dtype))
+    step = jax.jit(lambda s: topopt.oc_step(top, s))
+    t0 = time.perf_counter()
+    state, metrics = step(state)
+    jax.block_until_ready(state.x)
+    print(f"first step (cold): {time.perf_counter() - t0:.1f}s", flush=True)
+    for i in range(warm - 1):
+        state, metrics = step(state)
+    jax.block_until_ready(state.x)
+    print(f"warm cg_iters={int(metrics['cg_iters'])} "
+          f"compliance={2 * float(metrics['compliance']):.3f}", flush=True)
+    return state, step, metrics
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prob", default="problems/3d/cantilever_flexion.json")
+    p.add_argument("--dims", default="256,128,128")
+    p.add_argument("--mgl", type=int, default=5)
+    p.add_argument("--warm", type=int, default=20)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--phases", action="store_true")
+    p.add_argument("--variants", default="")
+    p.add_argument("--precond-k", type=int, default=4)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    cfg, prob, grid, settings, top = build(args)
+    ndim = grid.ndim
+    results = {"dims": args.dims, "mgl": args.mgl,
+               "device": str(jax.devices()[0])}
+
+    state, step, metrics = warm_state(top, cfg, grid, prob, args.warm)
+    results["warm_cg_iters"] = int(metrics["cg_iters"])
+
+    if args.phases:
+        t_step = timeit(step, (state,), args.reps, "step_total", results)
+
+        # realistic fields
+        rho = jax.jit(top.physical_density)(state.x)
+        young32 = jax.jit(
+            lambda r: prob.young(r).astype(jnp.float32))(rho)
+        u64 = state.u
+        u32 = u64.astype(jnp.float32)
+        jax.block_until_ready((rho, young32, u32))
+
+        mgcfg = mg.build_mg_config(
+            prob, settings.num_levels,
+            ke_cache_limit_bytes=settings.ke_cache_limit_bytes)
+        use_pallas = mg.resolve_use_pallas(settings.use_pallas, grid)
+
+        objective = jax.jit(lambda x, u0: top.objective(x, u0))
+        timeit(objective, (state.x, u64), args.reps, "objective", results)
+
+        grads = jax.jit(lambda x, u: (top.objective_gradient(x, u),
+                                      top.constraint_gradient(x)))
+        timeit(grads, (state.x, u64), args.reps, "grads", results)
+
+        def hier_arrays(young):
+            levels = mg.build_level_states(
+                cfg=mgcfg, prob=prob, young=young,
+                smoother=settings.smoother,
+                power_iters=settings.lmax_power_iters,
+                use_pallas=use_pallas,
+                cached_ke_dtype=settings.cached_ke_dtype)
+            chol = mg.factor_coarsest(levels)
+            outs = [lv.Minv_rows for lv in levels]
+            outs += [lv.Ke for lv in levels if lv.Ke is not None]
+            outs += [lv.Dinv for lv in levels if lv.Dinv is not None]
+            outs += [lv.lmax for lv in levels if lv.lmax is not None]
+            outs.append(chol[0])
+            return outs
+
+        t_hier = timeit(jax.jit(hier_arrays), (young32,), args.reps,
+                        "hier", results)
+
+        K = args.precond_k
+
+        def hier_plus_precond(young, r):
+            levels = mg.build_level_states(
+                cfg=mgcfg, prob=prob, young=young,
+                smoother=settings.smoother,
+                power_iters=settings.lmax_power_iters,
+                use_pallas=use_pallas,
+                cached_ke_dtype=settings.cached_ke_dtype)
+            chol = mg.factor_coarsest(levels)
+
+            def body(i, r):
+                return mg.mg_preconditioner(
+                    levels, chol, r, settings.mg_iterations,
+                    settings.mg_smoothing_iterations,
+                    settings.full_multigrid, settings.smoother,
+                    settings.cheb_degree)
+            return jax.lax.fori_loop(0, K, body, r)
+
+        r0 = jnp.asarray(prob.force, jnp.float32)
+        t_hp = timeit(jax.jit(hier_plus_precond), (young32, r0), args.reps,
+                      f"hier_plus_{K}_preconds", results)
+        per_precond = (t_hp - t_hier) / K
+        results["precond"] = {"s": round(per_precond, 6)}
+        print(f"{'precond (delta)':24s} {per_precond * 1e3:10.2f} ms",
+              flush=True)
+
+        K0np = np.asarray(mgcfg.K0, np.float64)
+        timeit(jax.jit(lambda u, y: pk.apply_k_pallas(u, y, K0np, grid)),
+               (u32, young32), args.reps, "fine_apply_pallas", results)
+        K0j = jnp.asarray(K0np, jnp.float32)
+        timeit(jax.jit(lambda u, y: ops.apply_k(u, y, K0j, grid)),
+               (u32, young32), max(args.reps // 4, 3), "fine_apply_xla",
+               results)
+
+        # two-float residual ingredients
+        young64 = ops.element_young_modulus(
+            rho.astype(jnp.float64), prob.E0, prob.Emin, prob.gamma)
+        y_hi = young64.astype(jnp.float32)
+        y_lo = (young64 - y_hi.astype(jnp.float64)).astype(jnp.float32)
+        u_hi = u64.astype(jnp.float32)
+        u_lo = (u64 - u_hi.astype(jnp.float64)).astype(jnp.float32)
+        jax.block_until_ready((y_hi, y_lo, u_hi, u_lo))
+        timeit(jax.jit(lambda a, b, c, d: pk.apply_k_pallas_df(
+            a, b, c, d, K0np, grid)),
+            (u_hi, u_lo, y_hi, y_lo), args.reps, "df_residual", results)
+
+        # level-1 apply alternatives
+        grid1 = mgcfg.levels[1].grid
+        u1 = jnp.zeros(grid1.nodes_per_dim + (ndim,), jnp.float32)
+        u1 = u1.at[tuple(n // 2 for n in grid1.nodes_per_dim)].set(1.0)
+
+        def l1_transfer(u1v, y):
+            uf = mg.prolongate(u1v, ndim)
+            f = (pk.apply_k_pallas(uf, y, K0np, grid) if use_pallas
+                 else ops.apply_k(uf, y, K0j, grid))
+            return mg.restrict(f, ndim)
+
+        timeit(jax.jit(l1_transfer), (u1, young32), args.reps,
+               "l1_transfer_apply", results)
+
+        ke1_build = jax.jit(lambda y: mg.build_level_ke(mgcfg, y, 1))
+        timeit(ke1_build, (young32,), max(args.reps // 4, 3),
+               "l1_ke_build", results)
+        Ke1 = ke1_build(young32)
+        jax.block_until_ready(Ke1)
+        timeit(jax.jit(lambda uv, ke: ops.apply_k_cached(uv, ke, grid1)),
+               (u1, Ke1), args.reps, "l1_cached_apply", results)
+        del Ke1
+
+        timeit(jax.jit(top.physical_density), (state.x,), args.reps,
+               "filter_chain", results)
+
+        oc_overhead = (t_step - results["objective"]["s"]
+                       - results["grads"]["s"])
+        results["oc_overhead"] = {"s": round(oc_overhead, 6)}
+        print(f"{'oc_overhead (delta)':24s} {oc_overhead * 1e3:10.2f} ms",
+              flush=True)
+
+    # ---- variant full-step timings ---------------------------------
+    VARIANTS = {
+        "fmg0": dict(full_multigrid=False),
+        "kecache": dict(ke_cache_limit_bytes=2048 * 2**20),
+        "lmax0": dict(lmax_power_iters=0),
+        "cheb1": dict(cheb_degree=1),
+        "cheb3": dict(cheb_degree=3),
+        "smooth1": dict(mg_smoothing_iterations=1),
+        "fmg0_kecache": dict(full_multigrid=False,
+                             ke_cache_limit_bytes=2048 * 2**20),
+        "fmg0_kecache_lmax0": dict(full_multigrid=False,
+                                   ke_cache_limit_bytes=2048 * 2**20,
+                                   lmax_power_iters=0),
+        "mgl4": dict(num_levels=4),
+        "mgl3": dict(num_levels=3),
+    }
+    for name in [v for v in args.variants.split(",") if v]:
+        kw = VARIANTS[name]
+        _, prob_v, grid_v, _, top_v = build(args, settings_kw=kw)
+        state_v, step_v, metrics_v = warm_state(
+            top_v, cfg, grid_v, prob_v, max(args.warm // 2, 5))
+        sec = timeit(step_v, (state_v,), max(args.reps // 2, 5),
+                     f"variant_{name}", results)
+        results[f"variant_{name}"].update({
+            "cg_iters": int(metrics_v["cg_iters"]),
+            "compliance": round(2 * float(metrics_v["compliance"]), 4),
+        })
+
+    print(json.dumps(results, indent=1), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

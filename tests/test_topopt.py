@@ -139,8 +139,12 @@ def test_oc_tiny_2d_run():
 
 
 def test_lbfgs_optimizer_decreases_compliance():
-    """Projected L-BFGS path (IPOPT-LBFGS replacement): monotone decrease,
-    volume constraint exactly feasible (reference: fem.py:89-95)."""
+    """AL L-BFGS path (IPOPT-LBFGS replacement): substantial improvement
+    over the uniform design, volume constraint feasible on the PHYSICAL
+    density (reference semantics, fem.py:89-95). Compliance history is
+    not strictly monotone (the AL objective is — compliance trades off
+    against feasibility within an outer iteration); final-value quality
+    is pinned against a scipy oracle in tests/test_lbfgs_oracle.py."""
     from ndr_tpu.ops import lbfgs
 
     top, cfg = _make_top(
@@ -148,8 +152,8 @@ def test_lbfgs_optimizer_decreases_compliance():
         (flt.SmoothingFilter(radius=1), flt.ProjectionFilter(beta=1.0)),
     )
     x0 = jnp.full(top.prob.grid.dims, cfg.max_volume)
-    res = lbfgs.lbfgs_topopt(top, x0, max_iter=25, step_size=0.01,
-                             log=lambda s: None)
-    assert all(b <= a + 1e-9 for a, b in zip(res.history, res.history[1:]))
+    res = lbfgs.lbfgs_topopt(top, x0, max_iter=40, log=lambda s: None)
     assert res.history[-1] < 0.8 * res.history[0]
-    assert float(np.mean(res.x)) <= cfg.max_volume + 1e-6
+    # volume feasibility on the PHYSICAL density (reference semantics)
+    rho = top.physical_density(jnp.asarray(res.x))
+    assert float(jnp.mean(rho)) <= cfg.max_volume + 1e-4
