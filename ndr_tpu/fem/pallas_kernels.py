@@ -348,15 +348,18 @@ def _two_sum(a, b):
 
 
 def _df_kernel_body(ndim, npe, T, K0r, rest_elems, refs):
-    """One x-slab of the two-float stiffness apply."""
-    n_in = 2 * ndim  # (hi, lo) per displacement component
+    """One x-slab of the two-float stiffness apply (trailing-aligned
+    variant layout, see :func:`_kernel_body`)."""
+    nv = 1 << (ndim - 1)
+    n_in = nv * 2 * ndim  # (hi, lo) per component per trailing variant
     uA = refs[:n_in]
     uB = refs[n_in: 2 * n_in]
     yh_ref, yl_ref = refs[2 * n_in], refs[2 * n_in + 1]
-    out_refs = refs[2 * n_in + 2:]   # ndim (hi, lo) pairs interleaved
+    out_refs = refs[2 * n_in + 2:]   # nv * ndim (hi, lo) pairs interleaved
 
     Eh, El = yh_ref[...], yl_ref[...]
     offs = list(itertools.product((0, 1), repeat=ndim))
+    tvars = list(itertools.product((0, 1), repeat=ndim - 1))
 
     u_slab = [
         jnp.concatenate([uA[i][...], uB[i][...][:1]], axis=0)
@@ -364,11 +367,10 @@ def _df_kernel_body(ndim, npe, T, K0r, rest_elems, refs):
     ]
 
     def view(b, i):
+        # i = 2*d (+1 for the lo stream)
         o = offs[b]
-        idx = (slice(o[0], o[0] + T),) + tuple(
-            slice(o[k], o[k] + rest_elems[k - 1]) for k in range(1, ndim)
-        )
-        return u_slab[i][idx]
+        vi = tvars.index(tuple(o[1:]))
+        return u_slab[vi * 2 * ndim + i][o[0]: o[0] + T]
 
     # per-(b,d) element views of u_hi (with their 12-bit halves) / u_lo
     uh, uh1, uh2, ul = {}, {}, {}, {}
@@ -387,9 +389,8 @@ def _df_kernel_body(ndim, npe, T, K0r, rest_elems, refs):
 
     for a in range(npe):
         oa = offs[a]
-        out_idx = (0, slice(oa[0], oa[0] + T)) + tuple(
-            slice(oa[k], oa[k] + rest_elems[k - 1]) for k in range(1, ndim)
-        )
+        vi = tvars.index(tuple(oa[1:]))
+        out_idx = (0, slice(oa[0], oa[0] + T))
         for c in range(ndim):
             S = None   # high accumulator (TwoSum chain of exact products)
             L = None   # low accumulator (small terms, naive adds)
@@ -417,7 +418,8 @@ def _df_kernel_body(ndim, npe, T, K0r, rest_elems, refs):
             P = Eh1 * S1
             Flo = (Eh1 * S2 + Eh2 * S1) + Eh2 * S2 + Eh * L + El * S
             # accumulate into the (hi, lo) output with a TwoSum carry
-            hi_ref, lo_ref = out_refs[2 * c], out_refs[2 * c + 1]
+            hi_ref = out_refs[vi * 2 * ndim + 2 * c]
+            lo_ref = out_refs[vi * 2 * ndim + 2 * c + 1]
             cur = hi_ref[out_idx]
             s, err = _two_sum(cur, P)
             hi_ref[out_idx] = s
@@ -443,11 +445,10 @@ def apply_k_pallas_df(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
     K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
 
     nx = grid.dims[0]
-    rest_elems0 = grid.dims[1:]
-    rest_nodes = tuple(n + 1 for n in rest_elems0)
+    nv = 1 << (ndim - 1)
     # double the modeled plane footprint: hi+lo streams and the split
     # temporaries roughly double the scoped-VMEM pressure vs fp32
-    T = _pick_slab_for_vmem(rest_nodes, np.float64, slab)
+    T = _pick_slab_for_vmem(grid.dims[1:], np.float64, slab)
     pad = _pad_to_multiple(nx, T)
     if pad:
         grid = grid.with_dims((nx + pad,) + grid.dims[1:])
@@ -459,19 +460,30 @@ def apply_k_pallas_df(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
     nslabs = grid.dims[0] // T
     rest_elems = grid.dims[1:]
     f32 = jnp.float32
-    # interleave (hi, lo) per component
-    u_comps = []
-    for d in range(ndim):
-        u_comps += [u_hi[..., d].astype(f32), u_lo[..., d].astype(f32)]
+    # variant-sliced inputs, (hi, lo) interleaved per component: stack the
+    # hi/lo streams as a trailing axis so _variant_slices' component
+    # indexing yields [v0: h0,l0,h1,l1,h2,l2, v1: ...]
+    uhl = jnp.stack(
+        sum(([u_hi[..., d].astype(f32), u_lo[..., d].astype(f32)]
+             for d in range(ndim)), []),
+        axis=-1,
+    )
+    u_vars = []
+    for tv in itertools.product((0, 1), repeat=ndim - 1):
+        for i in range(2 * ndim):
+            sl = (slice(None),) + tuple(
+                slice(o, o + n) for o, n in zip(tv, rest_elems)
+            ) + (i,)
+            u_vars.append(uhl[sl])
 
     row_pad = (nslabs + 1) * T - (grid.dims[0] + 1)
-    u_comps = [
-        jnp.pad(c, [(0, row_pad)] + [(0, 0)] * (ndim - 1)) for c in u_comps
+    u_vars = [
+        jnp.pad(c, [(0, row_pad)] + [(0, 0)] * (ndim - 1)) for c in u_vars
     ]
 
     out_shape = [
-        jax.ShapeDtypeStruct((nslabs, T + 1) + rest_nodes, f32)
-        for _ in range(2 * ndim)
+        jax.ShapeDtypeStruct((nslabs, T + 1) + rest_elems, f32)
+        for _ in range(nv * 2 * ndim)
     ]
 
     kernel = functools.partial(
@@ -488,38 +500,45 @@ def apply_k_pallas_df(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
             )
         return imap
 
-    u_block = (T,) + rest_nodes
+    u_block = (T,) + rest_elems
     slab_spec = pl.BlockSpec(u_block, _imap(0, ndim - 1))
     next_spec = pl.BlockSpec(u_block, _imap(1, ndim - 1))
     e_spec = pl.BlockSpec((T,) + rest_elems, _imap(0, ndim - 1))
     out_specs = [
-        pl.BlockSpec((1, T + 1) + rest_nodes, _imap(0, ndim))
-        for _ in range(2 * ndim)
+        pl.BlockSpec((1, T + 1) + rest_elems, _imap(0, ndim))
+        for _ in range(nv * 2 * ndim)
     ]
 
     outs = pl.pallas_call(
         wrapped,
         out_shape=out_shape,
         grid=(nslabs,),
-        in_specs=[slab_spec] * (2 * ndim) + [next_spec] * (2 * ndim)
+        in_specs=[slab_spec] * (nv * 2 * ndim) + [next_spec] * (nv * 2 * ndim)
         + [e_spec, e_spec],
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(*u_comps, *u_comps, young_hi.astype(f32), young_lo.astype(f32))
+    )(*u_vars, *u_vars, young_hi.astype(f32), young_lo.astype(f32))
 
-    # epilogue in f64 (a handful of plane adds): stitch slabs and combine
-    # hi+lo — exactness of the fp32 carry chain ends here anyway
+    # epilogue in f64 (a handful of plane adds): combine each variant's
+    # hi+lo — exactness of the fp32 carry chain ends here anyway — then
+    # x-stitch and offset-add the trailing-dim variants
+    tvars = list(itertools.product((0, 1), repeat=ndim - 1))
     comps = []
     for d in range(ndim):
-        partial = (outs[2 * d].astype(jnp.float64)
-                   + outs[2 * d + 1].astype(jnp.float64))
-        body = partial[:, :T].reshape((nslabs * T,) + partial.shape[2:])
-        last = partial[:, T]
-        full = jnp.concatenate([body, last[-1][None]], axis=0)
-        if nslabs > 1:
-            full = full.at[T: nslabs * T: T].add(last[:-1])
-        comps.append(full[: nx + 1])
+        total = None
+        for vi, tv in enumerate(tvars):
+            partial = (outs[vi * 2 * ndim + 2 * d].astype(jnp.float64)
+                       + outs[vi * 2 * ndim + 2 * d + 1].astype(jnp.float64))
+            body = partial[:, :T].reshape((nslabs * T,) + partial.shape[2:])
+            last = partial[:, T]
+            full = jnp.concatenate([body, last[-1][None]], axis=0)
+            if nslabs > 1:
+                full = full.at[T: nslabs * T: T].add(last[:-1])
+            full = full[: nx + 1]
+            p = jnp.pad(full, [(0, 0)] + [(o, 1 - o) for o in tv])
+            total = p if total is None else total + p
+        comps.append(total)
     return jnp.stack(comps, axis=-1)
