@@ -519,8 +519,8 @@ def _zero_dirichlet(lv: LevelState, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(lv.dirichlet_mask, 0.0, u)
 
 
-def _gs_color_update(lv: LevelState, u, b, color_idx: int, forward: bool):
-    """Update one parity color: u += mask * trisolve(M, b - K u).
+def _gs_trisolve_color(lv: LevelState, r, color_idx: int, forward: bool):
+    """du = mask_color * trisolve(M, r).
 
     Per-node component update follows the reference's in-node triangular
     sweep: forward uses (L + D), backward uses (D + U) of the NxN diagonal
@@ -528,9 +528,8 @@ def _gs_color_update(lv: LevelState, u, b, color_idx: int, forward: bool):
     (reference: MultigridSolver.hh:252-264).
     """
     ndim = lv.grid.ndim
-    r = b - _apply_k_level(lv, u)
-    M = lv.Minv_rows  # actually the raw diag blocks (nodes..., N, N)
-    free = 1.0 - lv.dirichlet_mask.astype(u.dtype)
+    M = lv.Minv_rows  # the raw diag blocks (nodes..., N, N)
+    free = 1.0 - lv.dirichlet_mask.astype(r.dtype)
 
     comps = range(ndim) if forward else range(ndim - 1, -1, -1)
     ud = [None] * ndim
@@ -541,24 +540,93 @@ def _gs_color_update(lv: LevelState, u, b, color_idx: int, forward: bool):
                 acc = acc - M[..., i, j] * ud[j]
         ud[i] = free[..., i] * acc / M[..., i, i]
     ud = jnp.stack(ud, axis=-1)
-    mask = lv.color_masks[color_idx][..., None].astype(u.dtype)
-    return u + mask * ud
+    mask = lv.color_masks[color_idx][..., None].astype(r.dtype)
+    return mask * ud
+
+
+def apply_k_parity(lv: LevelState, du, parity) -> jnp.ndarray:
+    """K du for a `du` supported on ONE node-parity class — at 1/2^N the
+    cost of a full apply.
+
+    Every degree-1 element has exactly one local node of a given global
+    parity (its index determined by the element's own parity), so the
+    element contraction collapses from (dofs_pe x dofs_pe) to
+    (dofs_pe x N): group the elements by their parity q (stride-2
+    slices), gather the single active corner from the parity-p
+    sub-lattice of du, contract with the constant K0 column block (fine
+    level) or the cached Ke column block, and scatter the 2^N outputs
+    back through stride-2 slice adds. This is what makes the incremental
+    multicolor GS sweep cost ~one apply total instead of 2^N applies
+    (reference smoother: MultigridSolver.hh:284-340)."""
+    grid = lv.grid
+    ndim = grid.ndim
+    npe = grid.nodes_per_elem
+    dims = grid.dims
+    offs = ops.local_node_offsets(grid)
+    dt = du.dtype
+
+    du_p = du[tuple(slice(p, None, 2) for p in parity)]
+    out = jnp.zeros_like(du)
+    if lv.kind == "fine":
+        K0r = np.asarray(lv.K0, np.float64).reshape(npe, ndim, npe, ndim)
+    for q in itertools.product((0, 1), repeat=ndim):
+        esl = tuple(slice(qd, None, 2) for qd in q)
+        nq = tuple(len(range(q[d], dims[d], 2)) for d in range(ndim))
+        if 0 in nq:
+            continue
+        o = tuple((parity[d] - q[d]) % 2 for d in range(ndim))
+        a_star = int(np.flatnonzero((offs == np.asarray(o)).all(axis=1))[0])
+        s_in = tuple((q[d] + o[d] - parity[d]) // 2 for d in range(ndim))
+        dc = du_p[tuple(slice(s_in[d], s_in[d] + nq[d])
+                        for d in range(ndim))]          # (nq..., N)
+        if lv.kind == "fine":
+            block = jnp.asarray(K0r[:, :, a_star, :], dt)    # (npe, N, N)
+            Eq = lv.young[esl]
+            fe = Eq[..., None, None] * jnp.einsum(
+                "acd,...d->...ac", block, dc, preferred_element_type=dt)
+        else:
+            Keq = lv.Ke[esl].reshape(nq + (npe, ndim, npe, ndim))
+            fe = jnp.einsum(
+                "...acd,...d->...ac", Keq[..., :, :, a_star, :].astype(dt),
+                dc, preferred_element_type=dt)
+        for a in range(npe):
+            off = offs[a]
+            start = tuple(int(q[d] + off[d]) for d in range(ndim))
+            tsl = tuple(
+                slice(start[d], start[d] + 2 * nq[d] - 1, 2)
+                for d in range(ndim)
+            )
+            out = out.at[tsl].add(fe[..., a, :])
+    return out
 
 
 def gs_sweep(lv: LevelState, u, b, forward: bool = True):
     """One multicolor Gauss-Seidel sweep over all 2^N parity colors.
 
-    The color loop runs as a fori_loop (one traced stiffness-apply
-    instance per sweep direction instead of 2^N).
+    The residual is carried across colors and updated incrementally:
+    r <- r - K du with du supported on the just-updated parity class,
+    which :func:`apply_k_parity` evaluates at 1/2^N of a full apply —
+    so the whole sweep costs ~2 full-apply equivalents instead of 2^N
+    full applies. Levels without parity structure in their operator
+    ("transfer" applies) fall back to the full apply per color.
     (reference: smoothingMulticoloredGS, MultigridSolver.hh:336-340)
     """
     n_colors = lv.color_masks.shape[0]
+    bits = list(itertools.product((0, 1), repeat=lv.grid.ndim))
+    order = list(range(n_colors)) if forward else list(
+        range(n_colors - 1, -1, -1))
 
-    def body(i, u):
-        c = i if forward else n_colors - 1 - i
-        return _gs_color_update(lv, u, b, c, forward)
-
-    return jax.lax.fori_loop(0, n_colors, body, u)
+    r = b - _apply_k_level(lv, u)
+    for k, c in enumerate(order):
+        du = _gs_trisolve_color(lv, r, c, forward)
+        u = u + du
+        if k == n_colors - 1:
+            break
+        if lv.kind == "transfer":
+            r = r - _apply_k_level(lv, du)
+        else:
+            r = r - apply_k_parity(lv, du, bits[c])
+    return u
 
 
 def build_level_states(

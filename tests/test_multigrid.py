@@ -301,3 +301,41 @@ def test_recursive_galerkin_ke_matches_direct():
         rec = mg.coarsen_ke(mg.build_level_ke(mcfg, young, l - 1), 3)
         err = float(jnp.abs(rec - direct).max() / jnp.abs(direct).max())
         assert err < 1e-12, (l, err)
+
+
+@pytest.mark.parametrize("prob_path,dims,levels", [
+    ("problems/2d/mbb_beam.json", (10, 6), 0),
+    ("problems/2d/mbb_beam.json", (12, 6), 1),   # odd coarse dims exercise
+    ("problems/3d/cantilever_flexion.json", (6, 4, 4), 1),
+])
+def test_incremental_gs_sweep_matches_naive(prob_path, dims, levels):
+    """The incremental-residual sweep (apply_k_parity fast path) must
+    reproduce the naive formulation — full r = b - K u before every
+    color — to machine precision, on fine AND cached (Galerkin) levels."""
+    cfg, prob, grid = _problem(prob_path, dims)
+    rng = np.random.default_rng(11)
+    rho = jnp.asarray(rng.uniform(0.2, 1.0, size=grid.dims))
+    young = prob.young(rho)
+    mgc = mg.build_mg_config(prob, levels)
+    lvs = mg.build_level_states(mgc, prob, young)
+    lv = lvs[levels]          # the deepest level (cached when levels > 0)
+
+    b = mg._zero_dirichlet(
+        lv, jnp.asarray(rng.normal(size=lv.grid.nodes_per_dim
+                                   + (grid.ndim,))))
+    u0 = mg._zero_dirichlet(
+        lv, jnp.asarray(rng.normal(size=b.shape)))
+
+    def naive_sweep(u, forward):
+        n_colors = lv.color_masks.shape[0]
+        order = range(n_colors) if forward else range(n_colors - 1, -1, -1)
+        for c in order:
+            r = b - mg._apply_k_level(lv, u)
+            u = u + mg._gs_trisolve_color(lv, r, c, forward)
+        return u
+
+    for forward in (True, False):
+        fast = mg.gs_sweep(lv, u0, b, forward=forward)
+        ref = naive_sweep(u0, forward)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(ref), rtol=1e-11, atol=1e-11)
