@@ -299,7 +299,10 @@ def _sharded_lmax(apply_fn, dinv_fn, zero_fn, shape, dtype, iters: int = 8):
 def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                        tol: float = 1e-4, max_iter: int = 100,
                        mg_smoothing_iterations: int = 2, cheb_degree: int = 2,
-                       coarse_shift: float = 1e-5, lmax_power_iters: int = 8):
+                       coarse_shift: float = 1e-5, lmax_power_iters: int = 8,
+                       mixed_precision: bool = False,
+                       use_pallas: bool = False,
+                       max_refinements: int = 6):
     """Sharded MGPCG solve over the slab decomposition.
 
     Returns solve(u0_l, rho_l, b_l) for use inside shard_map over a
@@ -308,6 +311,14 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
     level are baked in as replicated constants (static BCs).
 
     The per-shard local element count must be divisible by 2^num_levels.
+
+    ``mixed_precision`` runs the same float64 iterative refinement as the
+    single-chip solver (multigrid._mgpcg_solve_refined): true residual
+    measured in f64 per shard (+ halo sum), fp32 MGPCG on the correction
+    system, f64 accumulation — requires jax x64. ``use_pallas`` switches
+    the per-shard fine apply to the fused Pallas kernel (and, with
+    mixed_precision, the f64 residual to the two-float kernel) — TPU
+    backends only.
     """
     from ndr_tpu.fem import multigrid as mg
     from ndr_tpu.fem import solvers
@@ -359,9 +370,15 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                 Ke = None
                 blocks = ops.node_diag_blocks(young, K0, lg)
 
-                def apply_l(u, young=young, lg=lg):
-                    return halo_sum_forces(
-                        ops.apply_k(u, young, jnp.asarray(K0, u.dtype), lg))
+                if use_pallas:
+                    def apply_l(u, young=young, lg=lg):
+                        from ndr_tpu.fem import pallas_kernels as pk
+                        return halo_sum_forces(
+                            pk.apply_k_pallas(u, young, K0, lg))
+                else:
+                    def apply_l(u, young=young, lg=lg):
+                        return halo_sum_forces(
+                            ops.apply_k(u, young, jnp.asarray(K0, u.dtype), lg))
             else:
                 C = jnp.asarray(c_stacks[l], young.dtype)
                 pooled = mg.pooled_young(young, l)
@@ -444,9 +461,9 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
         x = x + levels[l]["zero"](prolong_sharded(e_c, ndim))
         return smooth(levels[l], x, b)
 
-    def solve(u0_l, rho_l, b_l):
-        levels = build_levels(rho_l)
-        chol = factor_coarse(levels)
+    def _cg(levels, chol, u0, b, tol_, tol_is_abs=False):
+        """fp32 MGPCG given built levels; tol_ is relative to ||b||
+        unless tol_is_abs."""
         lv0 = levels[0]
 
         def A(v):
@@ -456,14 +473,16 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
             return lv0["zero"](
                 vcycle(levels, chol, 0, 0.0 * r, r, x_is_zero=True))
 
-        b = lv0["zero"](b_l)
+        b = lv0["zero"](b)
         b_norm_sq = psum_vdot(b, b)
-        x = lv0["zero"](u0_l)
+        thresh_sq = (tol_ * tol_) if tol_is_abs else (
+            tol_ * tol_ * b_norm_sq)
+        x = lv0["zero"](u0)
         r = b - A(x)
 
         def cond(state):
             x, r, d, rz, i = state
-            return (i < max_iter) & (psum_vdot(r, r) > tol * tol * b_norm_sq)
+            return (i < max_iter) & (psum_vdot(r, r) > thresh_sq)
 
         def body(state):
             x, r, d, rz_old, i = state
@@ -479,5 +498,142 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                  jnp.asarray(0, jnp.int32))
         x, r, _, _, iters = jax.lax.while_loop(cond, body, state)
         return x, iters
+
+    def solve(u0_l, rho_l, b_l):
+        levels = build_levels(rho_l)
+        chol = factor_coarse(levels)
+        return _cg(levels, chol, u0_l, b_l, tol)
+
+    if not mixed_precision:
+        return solve
+
+    # ---- float64 iterative refinement around the fp32 sharded MGPCG ----
+    # (sharded twin of multigrid._mgpcg_solve_refined: per-shard f64
+    #  residual + halo sum; fp32 correction solves; f64 accumulation)
+    f32, f64 = jnp.float32, jnp.float64
+    lg0 = local_grids[0]
+    mask0_np = level_masks[0]
+    fp32_floor = 5e-4
+
+    def solve_refined(u0_l, rho_l, b_l):
+        rho32 = rho_l.astype(f32)
+        levels = build_levels(rho32)
+        chol = factor_coarse(levels)
+        lv0 = levels[0]
+
+        Lp = lg0.dims[0]
+        mask_l = _local_slice_of_constant(mask0_np, Lp)
+
+        def zero_d64(v):
+            return jnp.where(mask_l, 0.0, v)
+
+        young64 = ops.element_young_modulus(
+            rho_l.astype(f64), prob.E0, prob.Emin, prob.gamma)
+        b64 = zero_d64(b_l.astype(f64))
+
+        if use_pallas:
+            from ndr_tpu.fem import pallas_kernels as pk
+            y_hi = young64.astype(f32)
+            y_lo = (young64 - y_hi.astype(f64)).astype(f32)
+
+            def residual64(u):
+                u_hi = u.astype(f32)
+                u_lo = (u - u_hi.astype(f64)).astype(f32)
+                ku = pk.apply_k_pallas_df(u_hi, u_lo, y_hi, y_lo, K0, lg0)
+                return zero_d64(b64 - halo_sum_forces(ku))
+        else:
+            K0_64 = jnp.asarray(K0, f64)
+
+            def residual64(u):
+                ku = ops.apply_k(u, young64, K0_64, lg0)
+                return zero_d64(b64 - halo_sum_forces(ku))
+
+        b_norm = jnp.sqrt(psum_vdot(b64, b64))
+        u = zero_d64(u0_l.astype(f64))
+
+        tiny = jnp.asarray(1e-300, f64)
+
+        def needed_reduction(r):
+            rn = jnp.maximum(jnp.sqrt(psum_vdot(r, r)), tiny)
+            return tol * b_norm / rn
+
+        def body(state):
+            u, r, done, it_tot, k = state
+            needed = needed_reduction(r)
+            inner_tol = jnp.clip(0.5 * needed, fp32_floor, 0.9).astype(f32)
+            e32, iters = _cg(levels, chol, jnp.zeros(r.shape, f32),
+                             r.astype(f32), inner_tol)
+            u = u + e32.astype(f64)
+            done = 0.5 * needed >= fp32_floor
+            r = jax.lax.cond(done, lambda v: r, residual64, u)
+            return u, r, done, it_tot + iters, k + 1
+
+        def cond(state):
+            u, r, done, it_tot, k = state
+            return (~done) & (k < max_refinements)
+
+        r0 = residual64(u)
+        u, r, done, total_iters, k = jax.lax.while_loop(
+            cond, body,
+            (u, r0, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32)),
+        )
+        return u, total_iters
+
+    return solve_refined
+
+
+# ---------------------------------------------------------------------------
+# Driver integration: a global-array SolveFn over the slab decomposition
+# ---------------------------------------------------------------------------
+
+def make_sharded_solver(prob: FEMProblem, num_shards: int,
+                        num_levels: int, tol: float = 1e-4,
+                        max_iter: int = 100,
+                        mg_smoothing_iterations: int = 2,
+                        cheb_degree: int = 2,
+                        mixed_precision: bool = True,
+                        use_pallas: bool = False,
+                        mesh: Optional[Mesh] = None):
+    """A (rho, u0) -> (u, iters) SolveFn running the sharded MGPCG over a
+    `num_shards`-device mesh — drop-in for topopt/classic drivers
+    (`train_voxelfem --shards N`). Global fields are slab-stacked on the
+    host side of shard_map; all solver communication is ppermute halos +
+    psum reductions over the mesh axis.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    sg = ShardedGrid(global_grid=prob.grid, num_shards=num_shards)
+    mesh = mesh or make_mesh(num_shards)
+    solve_shard = make_sharded_mgpcg(
+        sg, prob, num_levels=num_levels, tol=tol, max_iter=max_iter,
+        mg_smoothing_iterations=mg_smoothing_iterations,
+        cheb_degree=cheb_degree, mixed_precision=mixed_precision,
+        use_pallas=use_pallas)
+
+    def solve_one(u0_l, rho_l, b_l):
+        x, iters = solve_shard(u0_l[0], rho_l[0], b_l[0])
+        return x[None], iters
+
+    shmap_solve = shard_map(
+        solve_one, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P()),
+    )
+
+    def solve(rho, u0=None):
+        b = jnp.where(prob.dirichlet_mask, 0.0, prob.force)
+        if mixed_precision:
+            b = b.astype(jnp.float64)
+        if u0 is None:
+            u0 = jnp.zeros_like(b)
+        u0 = u0.astype(b.dtype)
+        with mesh:
+            u_slabs, iters = shmap_solve(
+                shard_node_field(u0, sg),
+                shard_elem_field(rho.astype(prob.force.dtype), sg),
+                shard_node_field(b, sg),
+            )
+        return unshard_node_field(u_slabs, sg), iters
 
     return solve

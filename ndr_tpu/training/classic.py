@@ -57,6 +57,7 @@ def ground_truth_topopt(
     callback=None,
     snapshot_cb=None,
     dtype=None,
+    shards: int = 0,
 ) -> ClassicResult:
     """Run classic SIMP TO with the OC optimizer.
 
@@ -72,7 +73,23 @@ def ground_truth_topopt(
         flt.ProjectionFilter(beta=projection_beta),
     ]
     mixed = False
-    if use_multigrid:
+    if shards and shards > 1:
+        # slab decomposition over a device mesh (parallel.mesh): the
+        # sharded MGPCG with f64 refinement replaces the single-chip
+        # solver; everything else (filters, OC, adjoint) is unchanged
+        from ndr_tpu.parallel import mesh as pmesh
+        import jax as _jax
+
+        mixed = dtype == jnp.float32 and _jax.config.jax_enable_x64
+        solve = pmesh.make_sharded_solver(
+            prob, num_shards=shards, num_levels=multigrid_levels,
+            tol=tol, max_iter=cg_iter or 100,
+            mixed_precision=mixed,
+            use_pallas=mg.resolve_use_pallas(
+                use_pallas, prob.grid.with_dims(
+                    (prob.grid.dims[0] // shards,) + prob.grid.dims[1:])),
+        )
+    elif use_multigrid:
         if cg_iter is None:
             # un-coarsenable grids (e.g. 2D bridge 250x125) degrade to
             # block-Jacobi PCG, which needs far more (much cheaper) iters

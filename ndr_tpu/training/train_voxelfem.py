@@ -44,6 +44,9 @@ def main(argv=None):
                         "1e-4; its mgl=0 path is an exact direct solve — use a tight "
                         "tol like 1e-8 to reproduce those runs)")
     p.add_argument("--log-every", default=1, type=int)
+    p.add_argument("--shards", default=0, type=int,
+                   help="slab-decompose the grid over this many devices "
+                        "(sharded MGPCG via shard_map; 0 = single device)")
     args = p.parse_args(argv)
 
     import jax
@@ -90,6 +93,7 @@ def main(argv=None):
         log_every=args.log_every, smoother=args.smoother,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         cg_iter=args.cg_iter, optimizer=args.optim, snapshot_cb=snapshot_cb,
+        shards=args.shards,
     )
     np.save(os.path.join(args.out, f"{title}_densities.npy"), result.densities)
     export.write_vtr(

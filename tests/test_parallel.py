@@ -14,7 +14,8 @@ import textwrap
 import pytest
 
 
-def _run_in_multidevice_subprocess(body: str, n_devices: int = 4):
+def _run_in_multidevice_subprocess(body: str, n_devices: int = 4,
+                                   x64: bool = False):
     """Execute `body` (python source) under an n-device CPU platform."""
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
@@ -22,7 +23,7 @@ def _run_in_multidevice_subprocess(body: str, n_devices: int = 4):
         + env.get("XLA_FLAGS", "")
     )
     env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_ENABLE_X64"] = "0"
+    env["JAX_ENABLE_X64"] = "1" if x64 else "0"
     prelude = textwrap.dedent(
         f"""
         import jax
@@ -31,6 +32,7 @@ def _run_in_multidevice_subprocess(body: str, n_devices: int = 4):
         # config before any backend initializes (cf. __graft_entry__)
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", {n_devices})
+        jax.config.update("jax_enable_x64", {x64})
         assert jax.device_count() == {n_devices}, jax.devices()
         """
     ) + textwrap.dedent(
@@ -229,4 +231,59 @@ def test_sharded_mgpcg_two_levels_high_contrast():
         print("MGPCG2_OK", int(iters), err)
         """,
         n_devices=2,
+    )
+
+
+def test_sharded_refined_solver_matches_dense_oracle():
+    """Driver-facing sharded SolveFn (make_sharded_solver) with float64
+    iterative refinement: the global-array API used by
+    `train_voxelfem --shards N`. Must reach the dense-f64 oracle to the
+    refinement tolerance, well beyond plain fp32 accuracy."""
+    _run_in_multidevice_subprocess(
+        """
+        n = 4
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(16, 8, 8),
+                                         dtype=jnp.float32)
+        rng = np.random.default_rng(5)
+        rho = jnp.asarray(rng.uniform(0.05, 1.0, grid.dims), jnp.float32)
+
+        solve = pmesh.make_sharded_solver(
+            prob, num_shards=n, num_levels=1, tol=1e-9, max_iter=300,
+            mixed_precision=True)
+        u, iters = solve(rho)
+        u = np.asarray(u)
+        assert u.dtype == np.float64, u.dtype
+
+        u_ref = np.asarray(solvers.dense_solve(
+            prob.young(rho.astype(jnp.float64)), np.asarray(prob.K0),
+            prob.dirichlet_mask, prob.force.astype(jnp.float64), grid))
+        err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+        # fp32 alone bottoms out ~1e-4 relative on these systems; the
+        # refinement must go far below that
+        assert err < 1e-7, f"relative error {err}"
+        print("REFINED_OK", int(iters), err)
+        """,
+        x64=True,
+    )
+
+
+def test_sharded_classic_oc_matches_single_device():
+    """`ground_truth_topopt(shards=N)` — the full classic OC step over
+    the slab decomposition — reproduces the single-device trajectory."""
+    _run_in_multidevice_subprocess(
+        """
+        from ndr_tpu.training.classic import ground_truth_topopt
+        cfg = load_problem("problems/3d/bridge.json")
+        kw = dict(dims=(16, 8, 8), max_iter=4, multigrid_levels=1,
+                  tol=1e-6, log=lambda s: None)
+        r1 = ground_truth_topopt(cfg, **kw)
+        rN = ground_truth_topopt(cfg, shards=4, **kw)
+        h1 = np.asarray(r1.history)
+        hN = np.asarray(rN.history)
+        err = np.abs(h1 - hN) / np.abs(h1)
+        assert err.max() < 1e-4, (h1, hN)
+        print("SHARDED_OC_OK", h1[-1], hN[-1])
+        """,
+        x64=True,
     )
