@@ -251,6 +251,10 @@ def main():
 
     # ---- variant full-step timings ---------------------------------
     VARIANTS = {
+        "base": dict(),
+        "lmax0_smooth1": dict(lmax_power_iters=0,
+                              mg_smoothing_iterations=1),
+        "lmax0_cheb1": dict(lmax_power_iters=0, cheb_degree=1),
         "fmg0": dict(full_multigrid=False),
         "kecache": dict(ke_cache_limit_bytes=2048 * 2**20),
         "lmax0": dict(lmax_power_iters=0),
@@ -269,7 +273,7 @@ def main():
         kw = VARIANTS[name]
         _, prob_v, grid_v, _, top_v = build(args, settings_kw=kw)
         state_v, step_v, metrics_v = warm_state(
-            top_v, cfg, grid_v, prob_v, max(args.warm // 2, 5))
+            top_v, cfg, grid_v, prob_v, args.warm)
         sec = timeit(step_v, (state_v,), max(args.reps // 2, 5),
                      f"variant_{name}", results)
         results[f"variant_{name}"].update({
