@@ -194,7 +194,7 @@ class MGConfig:
     diag_stacks: dict = dataclasses.field(default_factory=dict)
     # levels whose full Galerkin Ke exceeds this many bytes use the
     # transfer-based apply (R K_finer P) instead of materializing Ke
-    ke_cache_limit_bytes: int = 1024 * 2**20
+    ke_cache_limit_bytes: int = 1400 * 2**20
     # per-level guaranteed upper bounds on lambda_max(D^-1 K) (Chebyshev
     # smoother safety; see _pencil_lmax_bound). {level: float}
     lmax_bounds: dict = dataclasses.field(default_factory=dict)
@@ -270,7 +270,7 @@ def _pencil_lmax_bound(stack: np.ndarray, ndim: int) -> float:
 
 
 def build_mg_config(prob: FEMProblem, num_levels: int,
-                    ke_cache_limit_bytes: int = 1024 * 2**20) -> MGConfig:
+                    ke_cache_limit_bytes: int = 1400 * 2**20) -> MGConfig:
     """Build the static hierarchy for `num_levels` coarsenings.
 
     (reference: MultigridSolver constructor, MultigridSolver.hh:22-90)
@@ -501,6 +501,10 @@ class LevelState:
     use_pallas: bool = False            # fused Pallas applyK (level 0)
     kind: str = "cached"
     parent: Optional["LevelState"] = None  # finer level ("transfer" only)
+    # streamed (d_pe^2, dims...) Ke layout for the fused cached-Ke Pallas
+    # apply (chebyshev production path; see pallas_kernels); when set it
+    # REPLACES Ke on intermediate levels to avoid storing the stack twice
+    Ke_stream: Optional[jnp.ndarray] = None
 
 
 def _apply_k_level(lv: LevelState, u: jnp.ndarray) -> jnp.ndarray:
@@ -512,6 +516,9 @@ def _apply_k_level(lv: LevelState, u: jnp.ndarray) -> jnp.ndarray:
     if lv.kind == "transfer":
         ndim = lv.grid.ndim
         return restrict(_apply_k_level(lv.parent, prolongate(u, ndim)), ndim)
+    if lv.Ke_stream is not None:
+        from ndr_tpu.fem import pallas_kernels as pk
+        return pk.apply_k_pallas_cached(u, lv.Ke_stream, lv.grid)
     return ops.apply_k_cached(u, lv.Ke, lv.grid)
 
 
@@ -647,6 +654,7 @@ def build_level_states(
     for l, lev in enumerate(cfg.levels):
         kind = cfg.level_kind(l)
         Ke = None
+        Ke_stream = None
         if l == 0:
             M = ops.node_diag_blocks(young, cfg.K0, lev.grid)
         else:
@@ -662,6 +670,21 @@ def build_level_states(
                 M = ops.node_diag_blocks_cached(Ke, lev.grid)
                 prev_full_ke = Ke
                 if (
+                    use_pallas
+                    and smoother == "chebyshev"
+                    and l != last
+                    and lev.grid.ndim == 3
+                    and lev.grid.num_elements >= (1 << 13)
+                ):
+                    # stream layout for the fused cached-Ke Pallas apply
+                    # (the GS path keeps the (dims, d, d) stack: its
+                    # parity apply slices element dims directly)
+                    from ndr_tpu.fem import pallas_kernels as pk
+                    Ke_stream = pk.ke_stream_layout(Ke, lev.grid)
+                    if cached_ke_dtype:
+                        Ke_stream = Ke_stream.astype(cached_ke_dtype)
+                    Ke = None
+                elif (
                     cached_ke_dtype
                     and l != last
                     and young.dtype == jnp.float32
@@ -687,6 +710,7 @@ def build_level_states(
                 use_pallas=use_pallas and l == 0,
                 kind=kind,
                 parent=states[-1] if l > 0 else None,
+                Ke_stream=Ke_stream,
             )
         )
     if smoother == "chebyshev":
@@ -927,7 +951,7 @@ class MGSolverSettings:
     # favor XLA)
     use_pallas: object = "auto"
     # levels whose Galerkin Ke exceeds this use the transfer-based apply
-    ke_cache_limit_bytes: int = 1024 * 2**20
+    ke_cache_limit_bytes: int = 1400 * 2**20
     # storage dtype for intermediate-level cached Ke on float32 problems.
     # NOTE: bfloat16 halves coarse-level HBM traffic but empirically
     # destroys preconditioner quality (the rounding perturbs the coarse

@@ -542,3 +542,185 @@ def apply_k_pallas_df(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
             total = p if total is None else total + p
         comps.append(total)
     return jnp.stack(comps, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Cached-Ke stiffness apply: Galerkin-coarsened multigrid levels.
+#
+# Coarse levels own a per-element stiffness Ke (dims..., d_pe, d_pe)
+# instead of a SIMP modulus field. The XLA einsum path
+# (operators.apply_k_cached) materializes the gathered-displacement and
+# per-element-force intermediates and re-reads the Ke stack through an
+# MXU-unfriendly batched 24x24 matvec — measured 7.6 ms at the
+# 128x64x64 level-1 of a 256x128x128 solve, 5x over the Ke stack's own
+# HBM traffic (1.2 GB fp32 -> 1.5 ms at v5e speed-of-light). This
+# kernel streams the stack ONCE in a (d_pe^2, dims...) "plane per
+# coefficient" layout and runs the contraction as 576 elementwise
+# FMAs per slab over the same trailing-aligned variant layout as
+# apply_k_pallas — DMA-bound on the Ke stack itself. bf16 Ke halves
+# that traffic (the coarse operator only shapes the *preconditioner*,
+# so Ke rounding costs CG iterations, not correctness — see
+# MGSolverSettings.cached_ke_dtype).
+#
+# (reference: MultigridSolver.hh applyStiffnessMatrix on cached
+# per-element stiffnesses, built by buildPESCoarse :604-669)
+# ---------------------------------------------------------------------------
+
+def _cached_kernel_body(ndim, npe, T, refs):
+    """One x-slab of the cached-Ke apply.
+
+    All trailing (element) dims arrive FLATTENED to one lane dimension R
+    (exact (8,128) tiles whenever R is a multiple of 1024 — which every
+    production level satisfies — so neither the Ke stream nor the
+    displacement variants carry lane-padding waste in HBM). Variant
+    geometry is identical to :func:`_kernel_body`; only the leading (x)
+    dim is sliced in-kernel.
+    """
+    nv = 1 << (ndim - 1)
+    n_in = nv * ndim
+    uA = refs[:n_in]
+    uB = refs[n_in: 2 * n_in]
+    ke_ref = refs[2 * n_in]             # (T, d_pe^2, R)
+    out_refs = refs[2 * n_in + 1:]      # (T + 1, 1, R) each
+
+    offs = list(itertools.product((0, 1), repeat=ndim))
+    tvars = list(itertools.product((0, 1), repeat=ndim - 1))
+    d_pe = npe * ndim
+
+    u_slab = [
+        jnp.concatenate([uA[i][...], uB[i][...][:1]], axis=0)
+        for i in range(n_in)
+    ]
+
+    def view(b, d):
+        o = offs[b]
+        vi = tvars.index(tuple(o[1:]))
+        return u_slab[vi * ndim + d][o[0]: o[0] + T]
+
+    u_views = [[view(b, d) for d in range(ndim)] for b in range(npe)]
+
+    for r in out_refs:
+        r[...] = jnp.zeros_like(r)
+    for a in range(npe):
+        oa = offs[a]
+        vi = tvars.index(tuple(oa[1:]))
+        out_idx = (slice(oa[0], oa[0] + T), 0)
+        for c in range(ndim):
+            row = a * ndim + c
+            acc = None
+            for b in range(npe):
+                for d in range(ndim):
+                    col = b * ndim + d
+                    k = ke_ref[:, row * d_pe + col, :].astype(jnp.float32)
+                    term = k * u_views[b][d]
+                    acc = term if acc is None else acc + term
+            ref = out_refs[vi * ndim + c]
+            cur = ref[out_idx]
+            ref[out_idx] = cur + acc
+
+
+def ke_stream_layout(Ke: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Transpose a (dims..., d_pe, d_pe) per-element stiffness stack into
+    the cached-apply streaming layout (nx, d_pe^2, R) with the trailing
+    element dims flattened to R = prod(dims[1:])."""
+    nd = grid.ndim
+    d_pe = grid.nodes_per_elem * nd
+    R = int(np.prod(grid.dims[1:]))
+    ke = Ke.reshape((grid.dims[0], R, d_pe * d_pe))
+    return jnp.swapaxes(ke, 1, 2)
+
+
+def _pick_slab_for_vmem_cached(R, d2, dtype, requested: int) -> int:
+    """Slab thickness bounded by the double-buffered Ke block footprint."""
+    itemsize = jnp.dtype(dtype).itemsize
+    budget = 55e6
+    for T in (requested, 8, 4, 2, 1):
+        if 2 * d2 * T * R * itemsize <= budget:
+            return T
+    return 1
+
+
+def apply_k_pallas_cached(u: jnp.ndarray, ke_stream: jnp.ndarray,
+                          grid: Grid, slab: int = 8,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused stiffness apply from a streamed per-element Ke stack.
+
+    Drop-in equivalent of :func:`ndr_tpu.fem.operators.apply_k_cached`
+    for degree-1 grids; ``ke_stream`` is the :func:`ke_stream_layout`
+    transpose of the (dims..., d_pe, d_pe) stack (f32 or bf16). The
+    apply is DMA-bound on the Ke stack itself (e.g. 1.2 GB fp32 at the
+    128x64x64 level-1 of a 256x128x128 solve -> ~1.5 ms at v5e HBM
+    speed-of-light, vs 7.6 ms measured for the XLA einsum path).
+    """
+    if grid.degree != 1:
+        raise NotImplementedError("pallas applyK supports degree-1 elements")
+    ndim = grid.ndim
+    npe = grid.nodes_per_elem
+    d_pe = npe * ndim
+    d2 = d_pe * d_pe
+    dt = u.dtype
+    R = int(np.prod(grid.dims[1:]))
+
+    nx = grid.dims[0]
+    T = _pick_slab_for_vmem_cached(R, d2, ke_stream.dtype, slab)
+    pad = _pad_to_multiple(nx, T)
+    if pad:
+        grid = grid.with_dims((nx + pad,) + grid.dims[1:])
+        u = jnp.pad(u, [(0, pad)] + [(0, 0)] * (u.ndim - 1))
+        ke_stream = jnp.pad(ke_stream, [(0, pad), (0, 0), (0, 0)])
+
+    nv = 1 << (ndim - 1)
+    nslabs = grid.dims[0] // T
+
+    u_vars = [c.reshape(c.shape[0], R) for c in _variant_slices(u, grid, ndim)]
+    row_pad = (nslabs + 1) * T - (nx + pad + 1)
+    u_vars = [jnp.pad(c, [(0, row_pad), (0, 0)]) for c in u_vars]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((T + 1, nslabs, R), dt)
+        for _ in range(nv * ndim)
+    ]
+
+    kernel = functools.partial(_cached_kernel_body, ndim, npe, T)
+
+    def wrapped(*refs):
+        kernel(refs)
+
+    def _u_imap(lead_shift):
+        def imap(i):
+            return (i + lead_shift, jnp.int32(0))
+        return imap
+
+    def _ke_imap(i):
+        return (i, jnp.int32(0), jnp.int32(0))
+
+    def _out_imap(i):
+        return (jnp.int32(0), i, jnp.int32(0))
+
+    slab_spec = pl.BlockSpec((T, R), _u_imap(0))
+    next_spec = pl.BlockSpec((T, R), _u_imap(1))
+    ke_spec = pl.BlockSpec((T, d2, R), _ke_imap)
+    out_specs = [
+        pl.BlockSpec((T + 1, 1, R), _out_imap) for _ in range(nv * ndim)
+    ]
+
+    outs = pl.pallas_call(
+        wrapped,
+        out_shape=out_shape,
+        grid=(nslabs,),
+        in_specs=[slab_spec] * (nv * ndim) + [next_spec] * (nv * ndim)
+        + [ke_spec],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*u_vars, *u_vars, ke_stream)
+
+    # back to the (nslabs, T+1, rest...) shape _stitch_partials expects
+    rest_elems = grid.dims[1:]
+    outs = [
+        jnp.swapaxes(o, 0, 1).reshape((nslabs, T + 1) + rest_elems)
+        for o in outs
+    ]
+    return _stitch_partials(outs, grid, nx, T)

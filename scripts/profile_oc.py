@@ -162,6 +162,7 @@ def main():
             chol = mg.factor_coarsest(levels)
             outs = [lv.Minv_rows for lv in levels]
             outs += [lv.Ke for lv in levels if lv.Ke is not None]
+            outs += [lv.Ke_stream for lv in levels if lv.Ke_stream is not None]
             outs += [lv.Dinv for lv in levels if lv.Dinv is not None]
             outs += [lv.lmax for lv in levels if lv.lmax is not None]
             outs.append(chol[0])

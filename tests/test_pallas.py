@@ -74,3 +74,36 @@ def test_pallas_df_apply_matches_float64(prob_path, dims, slab):
                                 grid, slab=slab, interpret=True)
     err = float(jnp.abs(f_df - f_ref).max() / jnp.abs(f_ref).max())
     assert err < 2e-10, err
+
+
+@pytest.mark.parametrize("prob_path,dims,slab,ke_dtype", [
+    ("problems/2d/mbb_beam.json", (12, 6), 4, jnp.float32),
+    ("problems/3d/cantilever_flexion.json", (8, 4, 4), 4, jnp.float32),
+    ("problems/3d/cantilever_flexion.json", (6, 4, 2), 8, jnp.float32),
+    ("problems/3d/cantilever_flexion.json", (8, 4, 4), 4, jnp.bfloat16),
+])
+def test_pallas_cached_apply_matches_xla(prob_path, dims, slab, ke_dtype):
+    """Streamed cached-Ke kernel vs operators.apply_k_cached on a
+    realistic Galerkin level-1 stack."""
+    from ndr_tpu.fem import multigrid as mg
+    from ndr_tpu.fem.simulator import problem_from_config as pfc
+
+    cfg = load_problem(prob_path)
+    prob, grid = pfc(cfg, dims=dims, dtype=jnp.float32)
+    mgcfg = mg.build_mg_config(prob, 1)
+    rng = np.random.default_rng(3)
+    young = prob.young(
+        jnp.asarray(rng.uniform(0.1, 1.0, grid.dims), jnp.float32))
+    Ke1 = mg.build_level_ke(mgcfg, young, 1)
+    grid1 = mgcfg.levels[1].grid
+    u = jnp.asarray(
+        rng.standard_normal(grid1.nodes_per_dim + (grid1.ndim,)),
+        jnp.float32,
+    )
+    f_ref = ops.apply_k_cached(u, Ke1.astype(ke_dtype), grid1)
+    stream = pk.ke_stream_layout(Ke1, grid1).astype(ke_dtype)
+    f_pl = pk.apply_k_pallas_cached(u, stream, grid1, slab=slab,
+                                    interpret=True)
+    err = float(jnp.abs(f_pl - f_ref).max() / jnp.abs(f_ref).max())
+    tol = 1e-5 if ke_dtype == jnp.float32 else 2e-2
+    assert err < tol, err
