@@ -1,0 +1,167 @@
+"""Per-phase profile of one neural-TO training step at the 192x96x96
+north-star scale (VERDICT r2 item 2: measure the MLP fwd/bwd vs solve
+split before optimizing it).
+
+Phases (each its own jitted program on warmed state):
+
+  * step_total   — the full jitted train_step (MLP fwd -> satisfier ->
+                   solve -> adjoint -> MLP bwd -> Adam)
+  * density_fwd  — chunked MLP forward + volume satisfier
+  * mlp_fwd      — chunked MLP forward alone
+  * nn_grad      — value_and_grad of the compliance through the density
+                   chain with a FIXED displacement field (the adjoint is
+                   closed-form, so this isolates MLP fwd + remat-bwd +
+                   filter/satisfier backprop — everything except the
+                   MGPCG solve)
+  * solve        — the warm MGPCG solve alone on a fixed density
+
+`--chunk-sweep` re-times mlp_fwd / nn_grad at several chunk sizes;
+`--precision-sweep` re-times them at matmul precisions default/high.
+
+Usage:
+  python scripts/profile_neural.py [--dims 192,96,96] [--reps 10]
+      [--chunk-sweep] [--precision-sweep] [--out out.json]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from ndr_tpu.utils.jax_setup import setup
+setup()
+
+import jax
+import jax.numpy as jnp
+
+from ndr_tpu import models
+from ndr_tpu.fem import topopt
+from ndr_tpu.io.problem import load_problem
+from ndr_tpu.ops import volume as vol
+from ndr_tpu.training.neural import NeuralTOConfig, build_trainer
+
+
+def timeit(fn, args, reps, name, results):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    sec = (time.perf_counter() - t0) / reps
+    results[name] = {"s": round(sec, 6), "compile_s": round(compile_s, 2)}
+    print(f"{name:26s} {sec * 1e3:10.2f} ms   (compile {compile_s:.1f}s)",
+          flush=True)
+    return sec
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prob", default="problems/3d/bridge.json")
+    p.add_argument("--dims", default="192,96,96")
+    p.add_argument("--v0", type=float, default=0.4)
+    p.add_argument("--mgl", type=int, default=3)
+    p.add_argument("--sigma", type=float, default=1.0)
+    p.add_argument("--warm", type=int, default=10)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--chunk-sweep", action="store_true")
+    p.add_argument("--precision-sweep", action="store_true")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    cfg = load_problem(args.prob)
+    cfg = dataclasses.replace(cfg, max_volume=args.v0)
+    dims = tuple(int(d) for d in args.dims.split(","))
+    ncfg = NeuralTOConfig(
+        embedding_size=1024, n_neurons=512, n_layers=4,
+        sigma=args.sigma, multigrid_levels=args.mgl,
+        volume_constraint_satisfier="constrained_sigmoid", seed=cfg.seed,
+    )
+    state, train_step, aux = build_trainer(cfg, ncfg, dims=dims)
+    prob, coords, solve = aux["prob"], aux["coords"], aux["solve"]
+    mlp_cfg, density_fn = aux["mlp_cfg"], aux["density_fn"]
+    results = {"dims": args.dims, "sigma": args.sigma,
+               "device": str(jax.devices()[0])}
+
+    t0 = time.perf_counter()
+    state, metrics = train_step(state)
+    jax.block_until_ready(state.u)
+    print(f"first step (cold): {time.perf_counter() - t0:.1f}s", flush=True)
+    for _ in range(args.warm - 1):
+        state, metrics = train_step(state)
+    jax.block_until_ready(state.u)
+    print(f"warm cg_iters={int(metrics['cg_iters'])} "
+          f"loss={float(metrics['loss']):.4f}", flush=True)
+    results["warm_cg_iters"] = int(metrics["cg_iters"])
+
+    # train_step donates its state: thread it through the reps
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        state, metrics = train_step(state)
+    jax.block_until_ready(state.u)
+    sec = (time.perf_counter() - t0) / args.reps
+    results["step_total"] = {"s": round(sec, 6)}
+    print(f"{'step_total':26s} {sec * 1e3:10.2f} ms", flush=True)
+
+    mv = jnp.asarray(cfg.max_volume, jnp.float32)
+    dfwd = jax.jit(lambda p, b: density_fn(p, b, coords, mv))
+    timeit(dfwd, (state.params, state.buffers), args.reps,
+           "density_fwd", results)
+
+    def mlp_fwd(p, b, chunk, precision):
+        c = dataclasses.replace(mlp_cfg, matmul_precision=precision)
+        return models.mlp_apply_chunked(p, b, coords, c, max_points=chunk)
+
+    u_fixed = state.u
+    rho_fixed = dfwd(state.params, state.buffers)
+    jax.block_until_ready((u_fixed, rho_fixed))
+
+    def nn_loss(p, b, chunk, precision):
+        c = dataclasses.replace(mlp_cfg, matmul_precision=precision)
+        out = models.mlp_apply_chunked(p, b, coords, c,
+                                       max_points=chunk)[..., 0]
+        rho = vol.satisfy_volume_constraint(
+            out, mv, mode=ncfg.volume_constraint_satisfier)
+        return 2.0 * topopt.compliance_with_adjoint(rho, u_fixed, prob)
+
+    base_chunk = 1 << 17
+    for prec in (["high", "default"] if args.precision_sweep else ["high"]):
+        tag = "" if prec == "high" else f"_{prec}"
+        timeit(jax.jit(lambda p, b, pr=prec: mlp_fwd(p, b, base_chunk, pr)),
+               (state.params, state.buffers), args.reps,
+               f"mlp_fwd{tag}", results)
+        timeit(jax.jit(jax.grad(
+            lambda p, b, pr=prec: nn_loss(p, b, base_chunk, pr))),
+            (state.params, state.buffers), args.reps,
+            f"nn_grad{tag}", results)
+
+    if args.chunk_sweep:
+        n = 1
+        for d in dims:
+            n *= d
+        for chunk in (1 << 18, 1 << 19, 1 << 20, n):
+            timeit(jax.jit(lambda p, b, ck=chunk: mlp_fwd(p, b, ck, "high")),
+                   (state.params, state.buffers), args.reps,
+                   f"mlp_fwd_c{chunk}", results)
+            timeit(jax.jit(jax.grad(
+                lambda p, b, ck=chunk: nn_loss(p, b, ck, "high"))),
+                (state.params, state.buffers), args.reps,
+                f"nn_grad_c{chunk}", results)
+
+    sfn = jax.jit(lambda r, u: solve(r, u))
+    timeit(sfn, (rho_fixed, u_fixed), max(args.reps // 2, 3),
+           "solve", results)
+
+    print(json.dumps(results, indent=1), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
