@@ -675,6 +675,8 @@ def build_level_states(
                     and l != last
                     and lev.grid.ndim == 3
                     and lev.grid.num_elements >= (1 << 13)
+                    # lane-dim constraint of the streamed kernel
+                    and int(np.prod(lev.grid.dims[1:])) % 128 == 0
                 ):
                     # stream layout for the fused cached-Ke Pallas apply
                     # (the GS path keeps the (dims, d, d) stack: its

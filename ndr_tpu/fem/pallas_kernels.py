@@ -570,9 +570,13 @@ def _cached_kernel_body(ndim, npe, T, refs):
     """One x-slab of the cached-Ke apply.
 
     All trailing (element) dims arrive FLATTENED to one lane dimension R
-    (exact (8,128) tiles whenever R is a multiple of 1024 — which every
-    production level satisfies — so neither the Ke stream nor the
-    displacement variants carry lane-padding waste in HBM). Variant
+    (a multiple of 128, enforced by the caller — so neither the Ke
+    stream nor the displacement variants carry lane-padding waste in
+    HBM). The u variants arrive pre-tiled as (nslabs+1, T, R) with
+    (1, T, R) blocks and the outputs as (1, T+1, R) blocks — trailing
+    block dims equal to the array dims, which Mosaic accepts for any
+    slab thickness T (a 2-D (T, R) u block would demand T % 8 == 0,
+    which the Ke-block VMEM budget rules out at production R). Variant
     geometry is identical to :func:`_kernel_body`; only the leading (x)
     dim is sliced in-kernel.
     """
@@ -581,14 +585,14 @@ def _cached_kernel_body(ndim, npe, T, refs):
     uA = refs[:n_in]
     uB = refs[n_in: 2 * n_in]
     ke_ref = refs[2 * n_in]             # (T, d_pe^2, R)
-    out_refs = refs[2 * n_in + 1:]      # (T + 1, 1, R) each
+    out_refs = refs[2 * n_in + 1:]      # (1, T + 1, R) each
 
     offs = list(itertools.product((0, 1), repeat=ndim))
     tvars = list(itertools.product((0, 1), repeat=ndim - 1))
     d_pe = npe * ndim
 
     u_slab = [
-        jnp.concatenate([uA[i][...], uB[i][...][:1]], axis=0)
+        jnp.concatenate([uA[i][0], uB[i][0][:1]], axis=0)
         for i in range(n_in)
     ]
 
@@ -604,7 +608,7 @@ def _cached_kernel_body(ndim, npe, T, refs):
     for a in range(npe):
         oa = offs[a]
         vi = tvars.index(tuple(oa[1:]))
-        out_idx = (slice(oa[0], oa[0] + T), 0)
+        out_idx = (0, slice(oa[0], oa[0] + T))
         for c in range(ndim):
             row = a * ndim + c
             acc = None
@@ -660,6 +664,11 @@ def apply_k_pallas_cached(u: jnp.ndarray, ke_stream: jnp.ndarray,
     d2 = d_pe * d_pe
     dt = u.dtype
     R = int(np.prod(grid.dims[1:]))
+    if R % 128 and not interpret:
+        # Mosaic needs lane-dim blocks in multiples of 128; callers
+        # (build_level_states) only stream levels satisfying this
+        raise NotImplementedError(
+            f"cached-Ke stream needs prod(dims[1:]) % 128 == 0, got {R}")
 
     nx = grid.dims[0]
     T = _pick_slab_for_vmem_cached(R, d2, ke_stream.dtype, slab)
@@ -674,10 +683,16 @@ def apply_k_pallas_cached(u: jnp.ndarray, ke_stream: jnp.ndarray,
 
     u_vars = [c.reshape(c.shape[0], R) for c in _variant_slices(u, grid, ndim)]
     row_pad = (nslabs + 1) * T - (nx + pad + 1)
-    u_vars = [jnp.pad(c, [(0, row_pad), (0, 0)]) for c in u_vars]
+    # pre-tiled 3-D variants: Mosaic accepts (1, T, R) blocks for any T
+    # (trailing dims equal the array's), unlike (T, R) blocks which
+    # would need T % 8 == 0
+    u_vars = [
+        jnp.pad(c, [(0, row_pad), (0, 0)]).reshape(nslabs + 1, T, R)
+        for c in u_vars
+    ]
 
     out_shape = [
-        jax.ShapeDtypeStruct((T + 1, nslabs, R), dt)
+        jax.ShapeDtypeStruct((nslabs, T + 1, R), dt)
         for _ in range(nv * ndim)
     ]
 
@@ -688,20 +703,20 @@ def apply_k_pallas_cached(u: jnp.ndarray, ke_stream: jnp.ndarray,
 
     def _u_imap(lead_shift):
         def imap(i):
-            return (i + lead_shift, jnp.int32(0))
+            return (i + lead_shift, jnp.int32(0), jnp.int32(0))
         return imap
 
     def _ke_imap(i):
         return (i, jnp.int32(0), jnp.int32(0))
 
     def _out_imap(i):
-        return (jnp.int32(0), i, jnp.int32(0))
+        return (i, jnp.int32(0), jnp.int32(0))
 
-    slab_spec = pl.BlockSpec((T, R), _u_imap(0))
-    next_spec = pl.BlockSpec((T, R), _u_imap(1))
+    slab_spec = pl.BlockSpec((1, T, R), _u_imap(0))
+    next_spec = pl.BlockSpec((1, T, R), _u_imap(1))
     ke_spec = pl.BlockSpec((T, d2, R), _ke_imap)
     out_specs = [
-        pl.BlockSpec((T + 1, 1, R), _out_imap) for _ in range(nv * ndim)
+        pl.BlockSpec((1, T + 1, R), _out_imap) for _ in range(nv * ndim)
     ]
 
     outs = pl.pallas_call(
@@ -719,8 +734,5 @@ def apply_k_pallas_cached(u: jnp.ndarray, ke_stream: jnp.ndarray,
 
     # back to the (nslabs, T+1, rest...) shape _stitch_partials expects
     rest_elems = grid.dims[1:]
-    outs = [
-        jnp.swapaxes(o, 0, 1).reshape((nslabs, T + 1) + rest_elems)
-        for o in outs
-    ]
+    outs = [o.reshape((nslabs, T + 1) + rest_elems) for o in outs]
     return _stitch_partials(outs, grid, nx, T)
