@@ -44,15 +44,23 @@ from ndr_tpu.ops import volume as vol
 from ndr_tpu.training.neural import NeuralTOConfig, build_trainer
 
 
+def _readback(out):
+    """Host-readback sync (block_until_ready can return early through the
+    axon tunnel on some call patterns — see scripts/profile_oc.py)."""
+    import numpy as _np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
 def timeit(fn, args, reps, name, results):
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     sec = (time.perf_counter() - t0) / reps
     results[name] = {"s": round(sec, 6), "compile_s": round(compile_s, 2)}
     print(f"{name:26s} {sec * 1e3:10.2f} ms   (compile {compile_s:.1f}s)",

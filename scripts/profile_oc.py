@@ -53,15 +53,23 @@ from ndr_tpu.io.problem import load_problem
 from ndr_tpu.ops import filters as flt
 
 
+def _readback(out):
+    """Host-readback sync: through the axon tunnel block_until_ready has
+    been observed to return early on some call patterns; transferring one
+    leaf to the host is a reliable fence."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
 def timeit(fn, args, reps, name, results):
     t_c0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     compile_s = time.perf_counter() - t_c0
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     sec = (time.perf_counter() - t0) / reps
     results[name] = {"s": round(sec, 6), "compile_s": round(compile_s, 2)}
     print(f"{name:24s} {sec * 1e3:10.2f} ms   (compile {compile_s:.1f}s)",
@@ -198,9 +206,11 @@ def main():
         print(f"{'precond (delta)':24s} {per_precond * 1e3:10.2f} ms",
               flush=True)
 
+        on_tpu = jax.devices()[0].platform != "cpu"
         K0np = np.asarray(mgcfg.K0, np.float64)
-        timeit(jax.jit(lambda u, y: pk.apply_k_pallas(u, y, K0np, grid)),
-               (u32, young32), args.reps, "fine_apply_pallas", results)
+        if on_tpu:
+            timeit(jax.jit(lambda u, y: pk.apply_k_pallas(u, y, K0np, grid)),
+                   (u32, young32), args.reps, "fine_apply_pallas", results)
         K0j = jnp.asarray(K0np, jnp.float32)
         timeit(jax.jit(lambda u, y: ops.apply_k(u, y, K0j, grid)),
                (u32, young32), max(args.reps // 4, 3), "fine_apply_xla",
@@ -214,9 +224,10 @@ def main():
         u_hi = u64.astype(jnp.float32)
         u_lo = (u64 - u_hi.astype(jnp.float64)).astype(jnp.float32)
         jax.block_until_ready((y_hi, y_lo, u_hi, u_lo))
-        timeit(jax.jit(lambda a, b, c, d: pk.apply_k_pallas_df(
-            a, b, c, d, K0np, grid)),
-            (u_hi, u_lo, y_hi, y_lo), args.reps, "df_residual", results)
+        if on_tpu:
+            timeit(jax.jit(lambda a, b, c, d: pk.apply_k_pallas_df(
+                a, b, c, d, K0np, grid)),
+                (u_hi, u_lo, y_hi, y_lo), args.reps, "df_residual", results)
 
         # level-1 apply alternatives
         grid1 = mgcfg.levels[1].grid
