@@ -67,6 +67,8 @@ def ground_truth_topopt(
     """
     # default: fp32 hot path with float64 refined equilibrium (fast on TPU)
     dtype = dtype or jnp.float32
+    # mgl=0 means the plain-CG exact-solve path (reference's direct solve)
+    use_multigrid = use_multigrid and multigrid_levels > 0
     prob, grid = problem_from_config(cfg, dims=dims, dtype=dtype)
     filters = [
         flt.SmoothingFilter(radius=smoothing_radius),

@@ -280,6 +280,8 @@ def main():
                                    lmax_power_iters=0),
         "mgl4": dict(num_levels=4),
         "mgl3": dict(num_levels=3),
+        # reference-parity smoother (incremental-residual multicolor GS)
+        "gs": dict(smoother="gs"),
     }
     for name in [v for v in args.variants.split(",") if v]:
         kw = VARIANTS[name]
