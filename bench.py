@@ -23,12 +23,20 @@ import time
 
 
 REF_2D_S_PER_ITER = 241.288 / 1500.0          # 2dMbb300x100.log
+
+# Solver settings for the 256-class headline, chosen by the on-device
+# scan-timed variant sweep (scripts/profile_oc.py --scan, logs/
+# profile_oc_256_scan.json): bound-only lambda_max + degree-2 Chebyshev
+# polynomial = 384.6 ms/step vs 487.3 base (cg_iters 2, compliance
+# parity at 252.526 vs 252.522).
+BEST_256_SETTINGS = {"lmax_power_iters": 0, "cheb_degree": 1}
 REF_3D_256_S_PER_ITER = 2.8                   # c1001.log steady average
 REF_3D_192_S_PER_ITER = 2.8 / (256 * 128 * 128) * (192 * 96 * 96)  # 1.182
 REF_NEURAL64_S_PER_ITER = 1.0 / 1.11          # ff/test.log
 
 
-def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto"):
+def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto",
+                   settings_kw=None):
     import jax
     import jax.numpy as jnp
 
@@ -40,11 +48,13 @@ def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto"):
 
     cfg = load_problem(prob_path)
     prob, grid = problem_from_config(cfg, dims=dims, dtype=jnp.float32)
-    settings = mg.MGSolverSettings(
+    kw = dict(
         num_levels=mgl, cg_iter=100, tol=1e-4,
         mg_iterations=1, mg_smoothing_iterations=2, full_multigrid=True,
         smoother="chebyshev", cheb_degree=2, use_pallas=use_pallas,
     )
+    kw.update(settings_kw or {})
+    settings = mg.MGSolverSettings(**kw)
     solve = mg.make_mg_solver(prob, settings)
     top = topopt.TopologyOptimizationProblem(
         prob=prob,
@@ -135,21 +145,36 @@ def main():
         "compliance_at_measurement": round(c3d, 2),
     }
 
-    if os.environ.get("NDR_BENCH_FULL"):
-        s256, c256 = _classic_bench("problems/3d/cantilever_flexion.json",
-                                    (256, 128, 128), 3, warm=3, n=10)
+    # Headline: the exact-config 4.19M-voxel run of the reference's
+    # c1001.log (2.8 s/iter on its 32-core production node). Apples to
+    # apples — same problem JSON, same grid, mgl=5. The persistent
+    # compilation cache (utils/jax_setup.py) hides the cold compile on
+    # repeat runs; set NDR_BENCH_FAST=1 to skip during development.
+    if not os.environ.get("NDR_BENCH_FAST"):
+        s256, c256 = _classic_bench(
+            "problems/3d/cantilever_flexion.json", (256, 128, 128), 5,
+            warm=5, n=15, settings_kw=BEST_256_SETTINGS)
         extra["classic_3d_cantilever_256x128x128"] = {
             "s_per_iter": round(s256, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
+            "ref_basis": "c1001.log steady state (exact config match)",
             "speedup": round(REF_3D_256_S_PER_ITER / s256, 2),
             "compliance_at_measurement": round(c256, 2),
         }
+        headline_s, headline_ref = s256, REF_3D_256_S_PER_ITER
+        metric = ("3D cantilever_flexion 256x128x128 classic SIMP-OC "
+                  "(MGPCG mgl=5 tol=1e-4, fused Pallas stiffness, "
+                  "f64-refined), seconds per OC iteration")
+    else:
+        headline_s, headline_ref = s3d, REF_3D_192_S_PER_ITER
+        metric = ("3D cantilever_flexion 192x96x96 classic SIMP-OC (MGPCG "
+                  "mgl=3 tol=1e-4, fused Pallas stiffness), seconds per OC "
+                  "iteration")
 
     result = {
-        "metric": "3D cantilever_flexion 192x96x96 classic SIMP-OC (MGPCG mgl=3 "
-                  "tol=1e-4, fused Pallas stiffness), seconds per OC iteration",
-        "value": round(s3d, 5),
+        "metric": metric,
+        "value": round(headline_s, 5),
         "unit": "s/iter",
-        "vs_baseline": round(REF_3D_192_S_PER_ITER / s3d, 3),
+        "vs_baseline": round(headline_ref / headline_s, 3),
         "extra": extra,
     }
     print(json.dumps(result))

@@ -962,8 +962,13 @@ class MGSolverSettings:
     cached_ke_dtype: Optional[str] = None
     # power-iteration budget for the Chebyshev lambda_max estimate
     # (min'ed with the guaranteed pencil bound); 0 = use the bound alone
-    # (a trace-time constant: no applies at hierarchy build)
-    lmax_power_iters: int = 8
+    # (a trace-time constant: no applies at hierarchy build). Default 0:
+    # the on-device 256x128x128 sweep (logs/profile_oc_256_scan.json)
+    # measured bound-only ITERATION-NEUTRAL at production scale
+    # (cg_iters=1, compliance 252.525 vs 252.522) and 11% faster per OC
+    # step (431.6 vs 487.3 ms) — the hierarchy rebuild sheds its 8
+    # power-iteration applies per level per step.
+    lmax_power_iters: int = 0
     # "mg" = multigrid V-cycle/FMG preconditioner; "jacobi" = block-Jacobi
     # PCG with no hierarchy. The reference shares our divisibility
     # constraint (MultigridSolver.hh:37: grid must be divisible by

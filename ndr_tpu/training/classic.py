@@ -106,6 +106,13 @@ def ground_truth_topopt(
             full_multigrid=True,
             zero_init=False,
             smoother=smoother,
+            # degree-2 Chebyshev polynomial per smoothing call (degree =
+            # cheb_degree * mg_smoothing_iterations): the 256x128x128
+            # on-device sweep measured 384.6 ms/step at cg_iters=2 vs
+            # 431.6 at degree 4 / cg_iters=1 — the cheaper preconditioner
+            # wins even paying one extra CG iteration
+            # (logs/profile_oc_256_scan.json)
+            cheb_degree=1,
             use_pallas=use_pallas,
         )
         solve = mg.make_mg_solver(prob, settings)
