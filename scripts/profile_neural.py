@@ -117,21 +117,25 @@ def main():
     print(f"{'step_total':26s} {sec * 1e3:10.2f} ms", flush=True)
 
     mv = jnp.asarray(cfg.max_volume, jnp.float32)
-    dfwd = jax.jit(lambda p, b: density_fn(p, b, coords, mv))
-    timeit(dfwd, (state.params, state.buffers), args.reps,
+    # coords as an operand, not a closure constant: closure arrays are
+    # inlined as dense StableHLO literals (21 MB here, tripled under
+    # grad) — observed 65 MB modules crashing the remote compile service
+    coords = jax.device_put(coords)
+    dfwd = jax.jit(lambda p, b, xs: density_fn(p, b, xs, mv))
+    timeit(dfwd, (state.params, state.buffers, coords), args.reps,
            "density_fwd", results)
 
-    def mlp_fwd(p, b, chunk, precision):
+    def mlp_fwd(p, b, xs, chunk, precision):
         c = dataclasses.replace(mlp_cfg, matmul_precision=precision)
-        return models.mlp_apply_chunked(p, b, coords, c, max_points=chunk)
+        return models.mlp_apply_chunked(p, b, xs, c, max_points=chunk)
 
     u_fixed = state.u
-    rho_fixed = dfwd(state.params, state.buffers)
+    rho_fixed = dfwd(state.params, state.buffers, coords)
     jax.block_until_ready((u_fixed, rho_fixed))
 
-    def nn_loss(p, b, chunk, precision):
+    def nn_loss(p, b, xs, chunk, precision):
         c = dataclasses.replace(mlp_cfg, matmul_precision=precision)
-        out = models.mlp_apply_chunked(p, b, coords, c,
+        out = models.mlp_apply_chunked(p, b, xs, c,
                                        max_points=chunk)[..., 0]
         rho = vol.satisfy_volume_constraint(
             out, mv, mode=ncfg.volume_constraint_satisfier)
@@ -140,12 +144,12 @@ def main():
     base_chunk = 1 << 17
     for prec in (["high", "default"] if args.precision_sweep else ["high"]):
         tag = "" if prec == "high" else f"_{prec}"
-        timeit(jax.jit(lambda p, b, pr=prec: mlp_fwd(p, b, base_chunk, pr)),
-               (state.params, state.buffers), args.reps,
+        timeit(jax.jit(lambda p, b, xs, pr=prec: mlp_fwd(p, b, xs, base_chunk, pr)),
+               (state.params, state.buffers, coords), args.reps,
                f"mlp_fwd{tag}", results)
         timeit(jax.jit(jax.grad(
-            lambda p, b, pr=prec: nn_loss(p, b, base_chunk, pr))),
-            (state.params, state.buffers), args.reps,
+            lambda p, b, xs, pr=prec: nn_loss(p, b, xs, base_chunk, pr))),
+            (state.params, state.buffers, coords), args.reps,
             f"nn_grad{tag}", results)
 
     if args.chunk_sweep:
@@ -153,12 +157,12 @@ def main():
         for d in dims:
             n *= d
         for chunk in (1 << 18, 1 << 19, 1 << 20, n):
-            timeit(jax.jit(lambda p, b, ck=chunk: mlp_fwd(p, b, ck, "high")),
-                   (state.params, state.buffers), args.reps,
+            timeit(jax.jit(lambda p, b, xs, ck=chunk: mlp_fwd(p, b, xs, ck, "high")),
+                   (state.params, state.buffers, coords), args.reps,
                    f"mlp_fwd_c{chunk}", results)
             timeit(jax.jit(jax.grad(
-                lambda p, b, ck=chunk: nn_loss(p, b, ck, "high"))),
-                (state.params, state.buffers), args.reps,
+                lambda p, b, xs, ck=chunk: nn_loss(p, b, xs, ck, "high"))),
+                (state.params, state.buffers, coords), args.reps,
                 f"nn_grad_c{chunk}", results)
 
     sfn = jax.jit(lambda r, u: solve(r, u))
