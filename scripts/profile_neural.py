@@ -133,13 +133,15 @@ def main():
     rho_fixed = dfwd(state.params, state.buffers, coords)
     jax.block_until_ready((u_fixed, rho_fixed))
 
-    def nn_loss(p, b, xs, chunk, precision):
+    def nn_loss(p, b, xs, uf, chunk, precision):
+        # uf (the fixed displacement) must be an operand: closed over, its
+        # 43.6 MB f64 literal alone crashed the remote compile service
         c = dataclasses.replace(mlp_cfg, matmul_precision=precision)
         out = models.mlp_apply_chunked(p, b, xs, c,
                                        max_points=chunk)[..., 0]
         rho = vol.satisfy_volume_constraint(
             out, mv, mode=ncfg.volume_constraint_satisfier)
-        return 2.0 * topopt.compliance_with_adjoint(rho, u_fixed, prob)
+        return 2.0 * topopt.compliance_with_adjoint(rho, uf, prob)
 
     base_chunk = 1 << 17
     for prec in (["high", "default"] if args.precision_sweep else ["high"]):
@@ -148,8 +150,8 @@ def main():
                (state.params, state.buffers, coords), args.reps,
                f"mlp_fwd{tag}", results)
         timeit(jax.jit(jax.grad(
-            lambda p, b, xs, pr=prec: nn_loss(p, b, xs, base_chunk, pr))),
-            (state.params, state.buffers, coords), args.reps,
+            lambda p, b, xs, uf, pr=prec: nn_loss(p, b, xs, uf, base_chunk, pr))),
+            (state.params, state.buffers, coords, u_fixed), args.reps,
             f"nn_grad{tag}", results)
 
     if args.chunk_sweep:
@@ -161,8 +163,8 @@ def main():
                    (state.params, state.buffers, coords), args.reps,
                    f"mlp_fwd_c{chunk}", results)
             timeit(jax.jit(jax.grad(
-                lambda p, b, xs, ck=chunk: nn_loss(p, b, xs, ck, "high"))),
-                (state.params, state.buffers, coords), args.reps,
+                lambda p, b, xs, uf, ck=chunk: nn_loss(p, b, xs, uf, ck, "high"))),
+                (state.params, state.buffers, coords, u_fixed), args.reps,
                 f"nn_grad_c{chunk}", results)
 
     sfn = jax.jit(lambda r, u: solve(r, u))
