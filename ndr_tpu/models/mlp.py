@@ -35,12 +35,19 @@ class MLPConfig:
     embedding_size: int = 256
     scale: float = 0.0                      # sigma of the Fourier features
     output_activation: Optional[str] = None  # None | "sigmoid"
-    # per-op matmul precision for the network's dots. The solver sets the
-    # GLOBAL default to "highest" (6-pass bf16 — true-fp32 contraction,
-    # which MGPCG genuinely needs); the MLP does not: "high" (3-pass
-    # bf16, ~fp32 accuracy) halves its MXU cost with no observable effect
-    # on the optimization. Set "highest" for bit-level parity studies.
+    # per-op matmul precision for the network's HIDDEN-LAYER dots. The
+    # solver sets the GLOBAL default to "highest" (6-pass bf16 — true-fp32
+    # contraction, which MGPCG genuinely needs); the MLP does not: "high"
+    # (3-pass bf16, ~fp32 accuracy) halves its MXU cost vs that, and
+    # "default" (1-pass bf16) halves it again (192^3 measured: nn grad
+    # 455 -> 243 ms). ReLU-MLP weights tolerate bf16 rounding; set
+    # "highest" for bit-level parity studies.
     matmul_precision: str = "high"
+    # the Fourier embedding x @ B^T is kept at high precision regardless:
+    # a bf16-rounded phase (rel err ~4e-3) perturbs sin(2 pi x B) by up to
+    # ~0.03 rad — a direct, frequency-dependent corruption of the encoding
+    # — while its FLOPs (K = in_features = 2-3) are negligible anyway.
+    encode_precision: str = "highest"
 
 
 def _orthogonal(key, shape, gain, dtype):
@@ -85,7 +92,7 @@ def mlp_apply(params, buffers, x: jnp.ndarray, cfg: MLPConfig,
     networks.py:209-234 register_gated_activations via forward hooks).
     """
     prec = cfg.matmul_precision
-    h = fourier_encode(x, buffers["B"], precision=prec)
+    h = fourier_encode(x, buffers["B"], precision=cfg.encode_precision)
     layers = params["layers"]
     for i, lyr in enumerate(layers):
         h = jnp.matmul(h, lyr["w"].T, precision=prec) + lyr["b"]
@@ -175,7 +182,7 @@ def multihead_apply(params, buffers, x, head_idx: int, cfg: MLPConfig,
     activations on the shared trunk (reference: networks.py:209-234,
     applied to MultiHeadedMLP's trunk via the same forward hooks)."""
     prec = cfg.matmul_precision
-    h = fourier_encode(x, buffers["B"], precision=prec)
+    h = fourier_encode(x, buffers["B"], precision=cfg.encode_precision)
     for i, lyr in enumerate(params["trunk"]):
         h = jnp.matmul(h, lyr["w"].T, precision=prec) + lyr["b"]
         if activation_masks is not None:

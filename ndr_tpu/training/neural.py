@@ -66,6 +66,10 @@ class NeuralTOConfig:
     # reference-parity option
     smoother: str = "chebyshev"
     cheb_degree: int = 2
+    # hidden-layer matmul precision of the MLP (see MLPConfig): "default"
+    # (1-pass bf16) halves the nn fwd+bwd cost vs "high" at 192^3 (455 ->
+    # 243 ms measured); the Fourier encode stays high-precision either way
+    matmul_precision: str = "high"
 
 
 @dataclasses.dataclass
@@ -127,6 +131,7 @@ def build_trainer(
         output_activation=None
         if vol.is_hard_mode(ncfg.volume_constraint_satisfier)
         else "sigmoid",
+        matmul_precision=ncfg.matmul_precision,
     )
     key = jax.random.PRNGKey(ncfg.seed)
     params, buffers = models.init_mlp(key, mlp_cfg, dtype)

@@ -48,6 +48,12 @@ def main(argv=None):
                    help="fused Pallas stiffness apply in the MG solve")
     p.add_argument("--smoother", default="chebyshev", choices=["chebyshev", "gs"],
                    help="MG smoother: chebyshev (TPU-fast) or gs (reference parity)")
+    p.add_argument("--cheb-degree", default=2, type=int,
+                   help="Chebyshev polynomial degree per smoothing iteration")
+    p.add_argument("--mlp-precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="hidden-layer matmul precision of the MLP "
+                        "(default: NeuralTOConfig's)")
     # multiresolution curriculum (reference: train_xdg.py:119 + :234-238 —
     # the shipped config is single-resolution: interval=0, start=0, end=1,
     # order='ftc', repeat 1; these flags expose the full loop)
@@ -102,6 +108,9 @@ def main(argv=None):
         multigrid_levels=args.mgl, seed=cfg.seed,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         smoother=args.smoother,
+        cheb_degree=args.cheb_degree,
+        **({"matmul_precision": args.mlp_precision}
+           if args.mlp_precision else {}),
     )
 
     np.random.seed(cfg.seed)

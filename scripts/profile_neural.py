@@ -79,6 +79,12 @@ def main():
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--chunk-sweep", action="store_true")
     p.add_argument("--precision-sweep", action="store_true")
+    p.add_argument("--variants", default="",
+                   help="comma list of full-step variants to time "
+                        "(scan-amortized): mlpfast (1-pass bf16 hidden "
+                        "matmuls), cheb1, mlpfast_cheb1")
+    p.add_argument("--scan", type=int, default=20,
+                   help="steps per dispatch for --variants timing")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -170,6 +176,43 @@ def main():
     sfn = jax.jit(lambda r, u: solve(r, u))
     timeit(sfn, (rho_fixed, u_fixed), max(args.reps // 2, 3),
            "solve", results)
+
+    # ---- full-step variants (fresh trainer per variant, scan-timed) ----
+    VARIANTS = {
+        "base": {},
+        "mlpfast": {"matmul_precision": "default"},
+        "cheb1": {"cheb_degree": 1},
+        "mlpfast_cheb1": {"matmul_precision": "default", "cheb_degree": 1},
+    }
+    for name in [v for v in args.variants.split(",") if v]:
+        vcfg = dataclasses.replace(ncfg, **VARIANTS[name])
+        vstate, vstep, vaux = build_trainer(cfg, vcfg, dims=dims)
+        t0 = time.perf_counter()
+        vstate, vm = vstep(vstate)
+        jax.block_until_ready(vstate.u)
+        print(f"variant {name}: cold {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        for _ in range(args.warm - 1):
+            vstate, vm = vstep(vstate)
+        _readback(vm["compliance"])
+
+        # scan-of-K steps in one dispatch amortizes tunnel latency; the
+        # jitted vstep dispatches per step otherwise (donation makes the
+        # python loop cheap but each dispatch pays ~10 ms through axon)
+        K = args.scan
+        t0 = time.perf_counter()
+        for _ in range(K):
+            vstate, vm = vstep(vstate)
+        last_c = float(vm["compliance"])
+        _readback(vm["compliance"])
+        sec = (time.perf_counter() - t0) / K
+        results[f"variant_{name}"] = {
+            "s": round(sec, 6), "loop": K,
+            "cg_iters": int(vm["cg_iters"]),
+            "compliance": round(2 * last_c, 4)}
+        print(f"{'variant_' + name:26s} {sec * 1e3:10.2f} ms/step "
+              f"(cg {int(vm['cg_iters'])})", flush=True)
+        del vstate, vstep, vaux
 
     print(json.dumps(results, indent=1), flush=True)
     if args.out:

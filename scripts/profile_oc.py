@@ -86,6 +86,8 @@ def build(args, settings_kw=None):
         mg_smoothing_iterations=2, full_multigrid=True,
         smoother="chebyshev", cheb_degree=2, use_pallas="auto",
     )
+    if getattr(args, "settings", None):
+        kw.update(json.loads(args.settings))
     if settings_kw:
         kw.update(settings_kw)
     settings = mg.MGSolverSettings(**kw)
@@ -124,6 +126,13 @@ def main():
     p.add_argument("--warm", type=int, default=20)
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--phases", action="store_true")
+    p.add_argument("--phases-mg", action="store_true",
+                   help="MG-internal breakdown (per-level smooth/vcycle/"
+                        "transfer/hier sub-phases)")
+    p.add_argument("--settings", default=None,
+                   help='JSON dict of MGSolverSettings overrides applied '
+                        'to the base build, e.g. \'{"lmax_power_iters":0,'
+                        '"cheb_degree":1}\'')
     p.add_argument("--variants", default="")
     p.add_argument("--precond-k", type=int, default=4)
     p.add_argument("--scan", type=int, default=0,
@@ -263,6 +272,125 @@ def main():
         results["oc_overhead"] = {"s": round(oc_overhead, 6)}
         print(f"{'oc_overhead (delta)':24s} {oc_overhead * 1e3:10.2f} ms",
               flush=True)
+
+    if args.phases_mg:
+        # MG-internal breakdown: where does one preconditioner
+        # application go, level by level? Each sub-phase is timed as
+        # hier-rebuild + K x phase (fori_loop) and reported as the delta
+        # over the hier-only time, /K. The hierarchy is rebuilt INSIDE
+        # jit from the `young` operand so no 100+ MB level array inlines
+        # as a StableHLO literal (the remote compile service rejects
+        # oversized modules).
+        rho = jax.jit(top.physical_density)(state.x)
+        young32 = jax.jit(
+            lambda r: prob.young(r).astype(jnp.float32))(rho)
+        jax.block_until_ready(young32)
+        mgcfg = mg.build_mg_config(
+            prob, settings.num_levels,
+            ke_cache_limit_bytes=settings.ke_cache_limit_bytes)
+        use_pallas = mg.resolve_use_pallas(settings.use_pallas, grid)
+        nsm = settings.mg_smoothing_iterations
+        deg = settings.cheb_degree * nsm
+
+        def build_levels(young):
+            levels = mg.build_level_states(
+                cfg=mgcfg, prob=prob, young=young,
+                smoother=settings.smoother,
+                power_iters=settings.lmax_power_iters,
+                use_pallas=use_pallas,
+                cached_ke_dtype=settings.cached_ke_dtype)
+            return levels, mg.factor_coarsest(levels)
+
+        def hier_only(young):
+            levels, chol = build_levels(young)
+            outs = [lv.Minv_rows for lv in levels]
+            outs += [lv.Ke for lv in levels if lv.Ke is not None]
+            outs += [lv.Ke_stream for lv in levels
+                     if lv.Ke_stream is not None]
+            outs += [lv.Dinv for lv in levels if lv.Dinv is not None]
+            outs.append(chol[0])
+            return outs
+
+        t_hier = timeit(jax.jit(hier_only), (young32,), args.reps,
+                        "hier", results)
+
+        r0 = jnp.asarray(prob.force, jnp.float32)
+        K = args.precond_k
+
+        def phase(name, body_fn, carry0, reps=None):
+            # carry0 doubles as the operand `b` where the phase needs a
+            # fixed rhs — passed as a jit operand, NOT closed over (a
+            # closed-over 51 MB force field inlines as a StableHLO
+            # literal and bloats the remote compile)
+            def fn(young, c0, b):
+                levels, chol = build_levels(young)
+
+                def body(i, c):
+                    return body_fn(levels, chol, c, b)
+                return jax.lax.fori_loop(0, K, body, c0)
+
+            t = timeit(jax.jit(fn), (young32, carry0, carry0),
+                       reps or args.reps, f"mg_{name}_raw", results)
+            per = (t - t_hier) / K
+            results[f"mg_{name}"] = {"s": round(per, 6)}
+            print(f"{'mg_' + name + ' (delta)':24s} {per * 1e3:10.2f} ms",
+                  flush=True)
+
+        ndim_ = grid.ndim
+
+        # one full preconditioner application (fmg as configured)
+        phase("precond", lambda lvs, ch, r, b: mg.mg_preconditioner(
+            lvs, ch, r, settings.mg_iterations, nsm,
+            settings.full_multigrid, settings.smoother,
+            settings.cheb_degree), r0)
+        # vcycle-only preconditioner (no FMG coarse bootstrap)
+        phase("vcycle0", lambda lvs, ch, r, b: mg.vcycle(
+            lvs, ch, 0, jnp.zeros_like(r), r, nsm, True,
+            settings.smoother, settings.cheb_degree, x_zero=True), r0)
+        # level-0 chebyshev smooth at the production degree
+        phase("smooth0", lambda lvs, ch, r, b: mg.chebyshev_smooth(
+            lvs[0], r, b, degree=deg), r0)
+        # level-0 residual (one stiffness apply + mask)
+        phase("resid0", lambda lvs, ch, r, b: mg._zero_dirichlet(
+            lvs[0], b - mg._apply_k_level(lvs[0], r)), r0)
+        # level-0 block-Jacobi apply
+        phase("dinv0", lambda lvs, ch, r, b: mg._dinv_apply(lvs[0], r), r0)
+        # fine<->coarse transfer roundtrip
+        phase("transfer0", lambda lvs, ch, r, b: mg.prolongate(
+            mg.restrict(r, ndim_), ndim_)[
+                tuple(slice(0, n) for n in r.shape)], r0)
+
+        # everything below level 0: vcycle rooted at level 1
+        rc0 = mg.restrict(r0, ndim_)
+        phase("vcycle1", lambda lvs, ch, rc, b: mg.vcycle(
+            lvs, ch, 1, jnp.zeros_like(rc), rc, nsm, True,
+            settings.smoother, settings.cheb_degree, x_zero=True), rc0)
+        # level-1 smooth alone
+        phase("smooth1", lambda lvs, ch, rc, b: mg.chebyshev_smooth(
+            lvs[1], rc, b, degree=deg), rc0)
+        if settings.num_levels >= 2:
+            rcc0 = mg.restrict(rc0, ndim_)
+            phase("vcycle2", lambda lvs, ch, rc, b: mg.vcycle(
+                lvs, ch, 2, jnp.zeros_like(rc), rc, nsm, True,
+                settings.smoother, settings.cheb_degree, x_zero=True),
+                rcc0)
+
+        # hier sub-phases. The carry-dependent perturbation (1e-30 * a
+        # scalar of r) stops XLA hoisting the loop-invariant rebuild out
+        # of the fori_loop; it does not measurably change the arithmetic.
+        def _l0_diag(lvs, ch, r, b):
+            y = lvs[0].young * (1.0 + 1e-30 * r[0, 0, 0, 0])
+            D = ops.invert_blocks(ops.node_diag_blocks(y, mgcfg.K0, grid))
+            return r + 1e-30 * D[..., 0, 0, None]
+
+        phase("hier_l0_diag", _l0_diag, r0)
+
+        def _l1_ke(lvs, ch, r, b):
+            y = lvs[0].young * (1.0 + 1e-30 * r[0, 0, 0, 0])
+            Ke = mg.build_level_ke(mgcfg, y, 1)
+            return r + 1e-30 * jnp.sum(Ke)
+
+        phase("hier_l1_ke", _l1_ke, r0)
 
     # ---- variant full-step timings ---------------------------------
     VARIANTS = {

@@ -100,3 +100,24 @@ def test_mlp_chunked_apply_matches_full():
     for la, lb in zip(ga["layers"], gb["layers"]):
         np.testing.assert_allclose(np.asarray(la["w"]), np.asarray(lb["w"]),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_mlp_matmul_precision_knob():
+    """The hidden-layer precision knob must (a) wire through, (b) leave
+    the Fourier encoding at high precision, and (c) keep the fast-path
+    output close to the high-precision one (bf16 hidden matmuls round the
+    activations, not the encoding)."""
+    cfg_hi = models.MLPConfig(in_features=3, out_features=1, n_neurons=64,
+                              n_layers=3, embedding_size=32, scale=2.0,
+                              matmul_precision="highest")
+    cfg_fast = models.MLPConfig(in_features=3, out_features=1, n_neurons=64,
+                                n_layers=3, embedding_size=32, scale=2.0,
+                                matmul_precision="default")
+    params, buffers = models.init_mlp(jax.random.PRNGKey(0), cfg_hi)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    y_hi = models.mlp_apply(params, buffers, x, cfg_hi)
+    y_fast = models.mlp_apply(params, buffers, x, cfg_fast)
+    # on CPU precision flags are no-ops (all f32); on TPU "default" is
+    # 1-pass bf16 — either way the fields must agree to bf16-level error
+    scale = float(jnp.max(jnp.abs(y_hi))) + 1e-6
+    assert float(jnp.max(jnp.abs(y_hi - y_fast))) / scale < 0.05
