@@ -42,6 +42,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_HIGHEST = jax.lax.Precision.HIGHEST  # see fem.multigrid._HIGHEST note
 import numpy as np
 
 from ndr_tpu.fem import element as el
@@ -177,7 +179,8 @@ def solve_cell_problems(
         return _pin(periodic_apply_k(_pin(u), modulus, K0, grid))
 
     def precond(r):
-        return _pin(jnp.einsum("...ij,...j->...i", inv, r))
+        return _pin(jnp.einsum("...ij,...j->...i", inv, r,
+                               precision=_HIGHEST))
 
     def solve_one(b):
         x0 = jnp.zeros_like(b)
@@ -251,8 +254,9 @@ def _energy_form_per_element(w, grid: Grid, material, K0):
         )
 
     Ue = jax.vmap(elem_dofs)(w)                            # (S, dims..., dofs)
-    cross = jnp.einsum("sd,t...d->...st", loads, Ue)
-    quad = jnp.einsum("s...d,de,t...e->...st", Ue, K0j, Ue)
+    cross = jnp.einsum("sd,t...d->...st", loads, Ue, precision=_HIGHEST)
+    quad = jnp.einsum("s...d,de,t...e->...st", Ue, K0j, Ue,
+                      precision=_HIGHEST)
     return const + cross + jnp.swapaxes(cross, -1, -2) + quad
 
 
@@ -275,7 +279,8 @@ def homogenized_elasticity_tensor(
         degrees = tuple([grid.degree] * grid.ndim)
         K0 = el.element_stiffness_matrix(degrees, grid.stretchings, material)
     per_elem = _energy_form_per_element(w, grid, material, K0)
-    B = jnp.einsum("...st,...->st", per_elem, rho) / grid.volume
+    B = jnp.einsum("...st,...->st", per_elem, rho,
+                   precision=_HIGHEST) / grid.volume
     m = jnp.asarray(_shear_multiplicity(grid.ndim), B.dtype)
     return B / (m[:, None] * m[None, :])
 

@@ -39,6 +39,13 @@ import numpy as np
 from ndr_tpu.fem import operators as ops
 from ndr_tpu.fem import solvers
 from ndr_tpu.fem.simulator import FEMProblem
+
+# Solver-critical dots request true-f32 contraction EXPLICITLY rather than
+# relying on the global default: without utils.jax_setup.setup(), f32
+# einsums run 1-pass bf16 on TPU AND on this image's XLA:CPU (avx512bf16)
+# — measured 1.2e-3 relative error in the Galerkin Ke, enough to make the
+# coarsest K indefinite (NaN Cholesky) and corrupt CG dots.
+_HIGHEST = jax.lax.Precision.HIGHEST
 from ndr_tpu.grid import Grid
 
 
@@ -381,7 +388,7 @@ def coarsen_ke(Ke_prev: jnp.ndarray, ndim: int) -> jnp.ndarray:
     W = jnp.asarray(_child_w_stack(ndim), Ke_prev.dtype)
     out = jnp.einsum(
         "...racbe,raA,rbB->...AcBe", x, W, W,
-        preferred_element_type=Ke_prev.dtype,
+        preferred_element_type=Ke_prev.dtype, precision=_HIGHEST,
     )
     return out.reshape(coarse + (d, d))
 
@@ -395,7 +402,8 @@ def build_level_ke(cfg: MGConfig, young: jnp.ndarray, level: int) -> jnp.ndarray
     C = jnp.asarray(cfg.c_stack(level), dtype=young.dtype)  # (R, d, d)
     pooled = pooled_young(young, level)                     # (dims_l..., R)
     Ke = jnp.einsum(
-        "...r,rde->...de", pooled, C, preferred_element_type=young.dtype
+        "...r,rde->...de", pooled, C,
+        preferred_element_type=young.dtype, precision=_HIGHEST,
     )
     return Ke
 
@@ -409,7 +417,8 @@ def build_level_ke_diag(cfg: MGConfig, young: jnp.ndarray, level: int):
     diagC = jnp.asarray(cfg.diag_stack(level), dtype=young.dtype)  # (R, npe, N, N)
     pooled = pooled_young(young, level)
     return jnp.einsum(
-        "...r,race->...ace", pooled, diagC, preferred_element_type=young.dtype
+        "...r,race->...ace", pooled, diagC,
+        preferred_element_type=young.dtype, precision=_HIGHEST,
     )
 
 
@@ -590,12 +599,13 @@ def apply_k_parity(lv: LevelState, du, parity) -> jnp.ndarray:
             block = jnp.asarray(K0r[:, :, a_star, :], dt)    # (npe, N, N)
             Eq = lv.young[esl]
             fe = Eq[..., None, None] * jnp.einsum(
-                "acd,...d->...ac", block, dc, preferred_element_type=dt)
+                "acd,...d->...ac", block, dc,
+                preferred_element_type=dt, precision=_HIGHEST)
         else:
             Keq = lv.Ke[esl].reshape(nq + (npe, ndim, npe, ndim))
             fe = jnp.einsum(
                 "...acd,...d->...ac", Keq[..., :, :, a_star, :].astype(dt),
-                dc, preferred_element_type=dt)
+                dc, preferred_element_type=dt, precision=_HIGHEST)
         for a in range(npe):
             off = offs[a]
             start = tuple(int(q[d] + off[d]) for d in range(ndim))
@@ -738,7 +748,7 @@ def build_level_states(
 
 
 def _dinv_apply(lv: LevelState, r):
-    z = jnp.einsum("...ij,...j->...i", lv.Dinv, r)
+    z = jnp.einsum("...ij,...j->...i", lv.Dinv, r, precision=_HIGHEST)
     return _zero_dirichlet(lv, z)
 
 
@@ -851,9 +861,15 @@ def factor_coarsest(levels: List[LevelState]):
     # support) the Galerkin-coarsened K can be indefinite at fp32 machine
     # precision (observed min eig ~ -2e-6 on an 18x6 coarse grid), which
     # makes the Cholesky NaN and poisons the whole MGPCG. The coarse solve
-    # only preconditions, so a tiny *relative* diagonal shift is harmless
-    # to convergence while making the factorization unconditionally PD.
-    eps = 1e-5 if K.dtype == jnp.float32 else 1e-12
+    # only preconditions, so a *relative* diagonal shift is harmless to
+    # convergence while making the factorization unconditionally PD.
+    # The shift must sit decisively above the fp32 Galerkin rounding floor:
+    # recursive coarsening amplifies Ke rounding through the rigid-body
+    # null space to ~1e-5 of the diagonal, and a 1e-5 shift proved exactly
+    # marginal — whether cho_factor hit a negative pivot flipped with the
+    # (uniform!) density scale's rounding realization (NaN at rho=0.2864,
+    # fine at 0.28, on a 60x20 MBB with mgl=2).
+    eps = 1e-4 if K.dtype == jnp.float32 else 1e-12
     K = K + jnp.diag(eps * jnp.diagonal(K))
     return jax.scipy.linalg.cho_factor(K, lower=True)
 
@@ -1015,7 +1031,8 @@ def mgpcg_solve(
                  else ops.invert_blocks(levels[0].Minv_rows))
 
         def precond(r):
-            z = jnp.einsum("...ij,...j->...i", Dinv0, r)
+            z = jnp.einsum("...ij,...j->...i", Dinv0, r,
+                           precision=_HIGHEST)
             return _zero_dirichlet(levels[0], z)
     else:
         chol = factor_coarsest(levels)
@@ -1107,7 +1124,8 @@ def _mgpcg_solve_refined(
                  else ops.invert_blocks(lv0.Minv_rows))
 
         def precond32(r):
-            z = jnp.einsum("...ij,...j->...i", Dinv0, r)
+            z = jnp.einsum("...ij,...j->...i", Dinv0, r,
+                           precision=_HIGHEST)
             return _zero_dirichlet(lv0, z)
     else:
         chol = factor_coarsest(levels)

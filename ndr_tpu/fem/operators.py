@@ -29,6 +29,11 @@ import numpy as np
 
 from ndr_tpu.grid import Grid
 
+# explicit true-f32 contraction: without jax_setup.setup() the default
+# matmul precision is 1-pass bf16 on TPU and on avx512bf16 XLA:CPU, which
+# corrupts the stiffness apply (see multigrid._HIGHEST note)
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 
 def local_node_offsets(grid: Grid) -> np.ndarray:
     """Local node multi-indices (C order), shape (nodes_per_elem, N).
@@ -117,7 +122,8 @@ def apply_k(
         for d in range(N)
     ]
     U = jnp.stack(rows)                                   # (dofs_pe, ne)
-    F = jnp.dot(K0.astype(dt), U, preferred_element_type=dt)
+    F = jnp.dot(K0.astype(dt), U, preferred_element_type=dt,
+                precision=_HIGHEST)
     F = F * young.reshape(-1)[None, :]
     F = F.reshape(npe, N, *grid.dims)
     # scatter-add per (local node, component) into scalar node fields
@@ -155,7 +161,8 @@ def apply_k_cached(
     U = jnp.stack(rows)                                   # (dofs_pe, ne)
     d_pe = npe * N
     Kef = Ke.reshape(-1, d_pe, d_pe).astype(dt)           # (ne, d, d)
-    F = jnp.einsum("eij,je->ie", Kef, U, preferred_element_type=dt)
+    F = jnp.einsum("eij,je->ie", Kef, U, preferred_element_type=dt,
+                   precision=_HIGHEST)
     F = F.reshape(npe, N, *grid.dims)
     comps = []
     for d in range(N):
@@ -280,7 +287,8 @@ def compliance_gradient(
         for d in range(N)
     ]
     U = jnp.stack(rows)                                   # (dofs_pe, ne)
-    K0U = jnp.dot(K0.astype(dt), U, preferred_element_type=dt)
+    K0U = jnp.dot(K0.astype(dt), U, preferred_element_type=dt,
+                  precision=_HIGHEST)
     utku = jnp.sum(U * K0U, axis=0).reshape(grid.dims)
     return -0.5 * gamma * rho ** (gamma - 1.0) * (E0 - Emin) * utku
 

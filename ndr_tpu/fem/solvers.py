@@ -10,6 +10,11 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# CG dot products must be true-f32 regardless of the ambient matmul
+# precision (1-pass bf16 default corrupts alpha/beta — see
+# multigrid._HIGHEST note)
+_HIGHEST = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ndr_tpu.fem import operators as ops
@@ -108,21 +113,22 @@ def conjugate_gradient(
     if precond is None:
         precond = lambda r: r
 
-    b_norm_sq = jnp.vdot(b, b)
+    b_norm_sq = jnp.vdot(b, b, precision=_HIGHEST)
     r0 = b - apply_a(x0)
 
     def cond(state):
         x, r, d, r_minv_r, i = state
-        return (i < max_iter) & (jnp.vdot(r, r) > tol * tol * b_norm_sq)
+        return (i < max_iter) & (jnp.vdot(r, r, precision=_HIGHEST)
+                                 > tol * tol * b_norm_sq)
 
     def body(state):
         x, r, d, r_minv_r_old, i = state
         s = precond(r)
-        r_minv_r = jnp.vdot(r, s)
+        r_minv_r = jnp.vdot(r, s, precision=_HIGHEST)
         beta = jnp.where(i == 0, 0.0, r_minv_r / r_minv_r_old)
         d = s + beta * d
         ad = apply_a(d)
-        alpha = r_minv_r / jnp.vdot(d, ad)
+        alpha = r_minv_r / jnp.vdot(d, ad, precision=_HIGHEST)
         x = x + alpha * d
         r = r - alpha * ad
         return (x, r, d, r_minv_r, i + 1)

@@ -22,6 +22,8 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+_HIGHEST = jax.lax.Precision.HIGHEST  # see multigrid._HIGHEST note
+
 from ndr_tpu.fem import operators as ops
 from ndr_tpu.fem import solvers
 from ndr_tpu.fem.simulator import FEMProblem
@@ -40,7 +42,7 @@ def block_jacobi_preconditioner(prob: FEMProblem, rho: jnp.ndarray):
     inv = ops.invert_blocks(blocks)
 
     def apply(r):
-        s = jnp.einsum("...ij,...j->...i", inv, r)
+        s = jnp.einsum("...ij,...j->...i", inv, r, precision=_HIGHEST)
         return ops.zero_dirichlet(s, prob.dirichlet_mask)
 
     return apply
@@ -84,11 +86,11 @@ def compliance_with_adjoint(rho: jnp.ndarray, u: jnp.ndarray, prob: FEMProblem):
 
     (reference: ComplianceObjective::compliance + TPS::complianceGradient)
     """
-    return 0.5 * jnp.vdot(prob.force, u)
+    return 0.5 * jnp.vdot(prob.force, u, precision=_HIGHEST)
 
 
 def _compliance_fwd(rho, u, prob):
-    c = 0.5 * jnp.vdot(prob.force, u)
+    c = 0.5 * jnp.vdot(prob.force, u, precision=_HIGHEST)
     return c, (rho, u)
 
 

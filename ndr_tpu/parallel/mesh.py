@@ -29,6 +29,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_HIGHEST = jax.lax.Precision.HIGHEST  # see fem.multigrid._HIGHEST note
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -150,7 +152,7 @@ def psum_vdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     idx = jax.lax.axis_index(AXIS)
     w = jnp.ones_like(a)
     w = w.at[0].set(jnp.where(idx > 0, 0.0, 1.0))
-    return jax.lax.psum(jnp.vdot(a * w, b), AXIS)
+    return jax.lax.psum(jnp.vdot(a * w, b, precision=_HIGHEST), AXIS)
 
 
 def make_sharded_cg(sg: ShardedGrid, prob: FEMProblem, tol: float,
@@ -179,7 +181,8 @@ def make_sharded_cg(sg: ShardedGrid, prob: FEMProblem, tol: float,
         inv = ops.invert_blocks(blocks)
 
         def precond(r):
-            return zero_d(jnp.einsum("...ij,...j->...i", inv, r))
+            return zero_d(jnp.einsum("...ij,...j->...i", inv, r,
+                                     precision=_HIGHEST))
 
         b = zero_d(b_l)
         b_norm_sq = psum_vdot(b, b)
@@ -383,6 +386,7 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                 C = jnp.asarray(c_stacks[l], young.dtype)
                 pooled = mg.pooled_young(young, l)
                 Ke = jnp.einsum("...r,rde->...de", pooled, C,
+                                precision=_HIGHEST,
                                 preferred_element_type=young.dtype)
                 blocks = ops.node_diag_blocks_cached(Ke, lg)
 
@@ -396,7 +400,8 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                 return jnp.where(mask_l, 0.0, u)
 
             def dinv_l(r, Dinv=Dinv, mask_l=mask_l):
-                z = jnp.einsum("...ij,...j->...i", Dinv, r)
+                z = jnp.einsum("...ij,...j->...i", Dinv, r,
+                               precision=_HIGHEST)
                 return jnp.where(mask_l, 0.0, z)
 
             shape = lg.nodes_per_dim + (ndim,)
