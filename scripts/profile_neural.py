@@ -46,10 +46,12 @@ from ndr_tpu.training.neural import NeuralTOConfig, build_trainer
 
 def _readback(out):
     """Host-readback sync (block_until_ready can return early through the
-    axon tunnel on some call patterns — see scripts/profile_oc.py)."""
+    axon tunnel on some call patterns — see scripts/profile_oc.py). Only
+    a few elements are transferred: tunnel bulk bandwidth can be as low
+    as 22 MB/s."""
     import numpy as _np
     leaf = jax.tree_util.tree_leaves(out)[0]
-    _np.asarray(jax.device_get(leaf)).ravel()[:1]
+    _np.asarray(jax.device_get(jnp.ravel(leaf)[:8]))
 
 
 def timeit(fn, args, reps, name, results):

@@ -55,10 +55,12 @@ from ndr_tpu.ops import filters as flt
 
 def _readback(out):
     """Host-readback sync: through the axon tunnel block_until_ready has
-    been observed to return early on some call patterns; transferring one
-    leaf to the host is a reliable fence."""
+    been observed to return early on some call patterns; transferring a
+    FEW ELEMENTS of one leaf is a reliable fence. (Never device_get a
+    full field: tunnel bulk bandwidth has been measured as low as
+    22 MB/s, so a 154 MB leaf would add 1.7 s to the measurement.)"""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[:8]))
 
 
 def timeit(fn, args, reps, name, results):
