@@ -422,6 +422,20 @@ def main():
         "lmax0_cheb1_smooth1": dict(lmax_power_iters=0, cheb_degree=1,
                                     mg_smoothing_iterations=1),
         "lmax0_mgl4": dict(lmax_power_iters=0, num_levels=4),
+        # production config + V-cycle-only preconditioner (FMG's coarse
+        # bootstrap costs ~an extra half-preconditioner; warm-started CG
+        # may not need it)
+        "prod_fmg0": dict(lmax_power_iters=0, cheb_degree=1,
+                          full_multigrid=False),
+        # production config + one more coarsening (smaller coarsest
+        # Cholesky, one more cheap level)
+        "prod_mgl6": dict(lmax_power_iters=0, cheb_degree=1, num_levels=6),
+        # production config + mg_iterations=2 (stronger preconditioner,
+        # possibly cg_iters=1)
+        "prod_mgi2": dict(lmax_power_iters=0, cheb_degree=1,
+                          mg_iterations=2),
+        "prod_mgl6_fmg0": dict(lmax_power_iters=0, cheb_degree=1,
+                               num_levels=6, full_multigrid=False),
     }
     for name in [v for v in args.variants.split(",") if v]:
         kw = VARIANTS[name]
