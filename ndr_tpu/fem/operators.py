@@ -182,16 +182,35 @@ def node_diag_blocks(
     — the Gauss-Seidel smoother's diagonal (reference:
     MultigridSolver.hh:193-265 m_smoothNode, matrix-free branch).
 
+    Computed as ONE 2^N-tap convolution of the modulus field (tap j =
+    the constant K0 block of the local node opposite offset o_j): the
+    former per-local-node scatter-add formulation cost 2^N sequential
+    full-array updates — measured 20 ms at a 4.3M-node fine level where
+    the conv is a few HBM passes.
+
     Returns nodes_per_dim + (N, N).
     """
     N = grid.ndim
-    K0r = np.asarray(K0).reshape(grid.nodes_per_elem, N, grid.nodes_per_elem, N)
-    out = jnp.zeros(grid.nodes_per_dim + (N, N), dtype=young.dtype)
+    npe = grid.nodes_per_elem
+    K0r = np.asarray(K0).reshape(npe, N, npe, N)
     offs = local_node_offsets(grid)
+    # cross-correlation taps: node n gathers element n - o_j, i.e. the
+    # padded-young window position k = 1 - o_j per dim
+    W = np.zeros((N * N, 1) + (2,) * N, dtype=np.float64)
     for j, o in enumerate(offs):
-        block = jnp.asarray(K0r[j, :, j, :], dtype=young.dtype)
-        out = out.at[_elem_slice(grid, o)].add(young[..., None, None] * block)
-    return out
+        k = tuple(1 - int(x) for x in o)
+        W[(slice(None), 0) + k] = K0r[j, :, j, :].reshape(N * N)
+    W = jnp.asarray(W, young.dtype)
+    pad = [(1, 1)] * N
+    y = young[None, None]                      # (batch=1, feature=1, dims)
+    out = jax.lax.conv_general_dilated(
+        y, W, window_strides=(1,) * N, padding=pad,
+        dimension_numbers=("NC" + "DHW"[-N:], "OI" + "DHW"[-N:],
+                           "NC" + "DHW"[-N:]),
+        precision=_HIGHEST,
+    )[0]                                       # (N*N, nodes...)
+    out = jnp.moveaxis(out, 0, -1)
+    return out.reshape(grid.nodes_per_dim + (N, N))
 
 
 def node_diag_blocks_cached(Ke: jnp.ndarray, grid: Grid) -> jnp.ndarray:
