@@ -182,11 +182,13 @@ def node_diag_blocks(
     — the Gauss-Seidel smoother's diagonal (reference:
     MultigridSolver.hh:193-265 m_smoothNode, matrix-free branch).
 
-    Computed as ONE 2^N-tap convolution of the modulus field (tap j =
-    the constant K0 block of the local node opposite offset o_j): the
-    former per-local-node scatter-add formulation cost 2^N sequential
-    full-array updates — measured 20 ms at a 4.3M-node fine level where
-    the conv is a few HBM passes.
+    For degree-1 grids this is ONE 2^N-tap convolution of the modulus
+    field (tap j = the constant K0 block of the local node opposite
+    offset o_j): the per-local-node scatter-add formulation cost 2^N
+    sequential full-array updates — measured 20 ms at a 4.3M-node fine
+    level where the conv is a few HBM passes. Higher degrees keep the
+    generic scatter (their node lattice is not a stride-1 shift of the
+    element lattice).
 
     Returns nodes_per_dim + (N, N).
     """
@@ -194,6 +196,13 @@ def node_diag_blocks(
     npe = grid.nodes_per_elem
     K0r = np.asarray(K0).reshape(npe, N, npe, N)
     offs = local_node_offsets(grid)
+    if grid.degree != 1:
+        out = jnp.zeros(grid.nodes_per_dim + (N, N), dtype=young.dtype)
+        for j, o in enumerate(offs):
+            block = jnp.asarray(K0r[j, :, j, :], dtype=young.dtype)
+            out = out.at[_elem_slice(grid, o)].add(
+                young[..., None, None] * block)
+        return out
     # cross-correlation taps: node n gathers element n - o_j, i.e. the
     # padded-young window position k = 1 - o_j per dim
     W = np.zeros((N * N, 1) + (2,) * N, dtype=np.float64)
