@@ -51,8 +51,10 @@ def test_apply_k_matches_dense(dims, corners):
     assert float(jnp.vdot(jnp.asarray(u), f_mf)) > 0
 
 
-def test_node_diag_blocks_match_dense():
-    grid, K0, young, rng = _setup((3, 4))
+@pytest.mark.parametrize("dims", [(3, 4), (3, 2, 4)])
+def test_node_diag_blocks_match_dense(dims):
+    # exercises the 2^N-tap conv formulation in 2D and 3D (odd dims too)
+    grid, K0, young, rng = _setup(dims)
     K = ops.assemble_dense_k(young, K0, grid)
     blocks = np.asarray(ops.node_diag_blocks(jnp.asarray(young), K0, grid))
     N = grid.ndim
