@@ -85,19 +85,19 @@ def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto",
     # per-dispatch tunnel/host latency (~100 ms through axon at 4M
     # voxels, variable) amortizes away. This matches sustained driver
     # throughput — the number a production on-device OC loop delivers.
-    # (named run_k to trace identically to scripts/profile_oc.py's scan
-    # program — jit module names feed the persistent-cache key)
+    # (named run_k with the same body as scripts/profile_oc.py's scan
+    # program so the persistent compile cache is shared between them)
     @jax.jit
     def run_k(s):
         def body(s, _):
             s, m = topopt.oc_step(top, s)
-            return s, m["compliance"]
+            return s, (m["compliance"], m["cg_iters"])
         return jax.lax.scan(body, s, None, length=n)
 
-    state, cs = run_k(state)                   # compile + warm the scan
+    state, (cs, its) = run_k(state)            # compile + warm the scan
     _readback(cs)
     t0 = time.perf_counter()
-    state, cs = run_k(state)
+    state, (cs, its) = run_k(state)
     last_c = _readback(cs[-1:])
     sec = (time.perf_counter() - t0) / n
     return sec, 2.0 * last_c
