@@ -840,18 +840,22 @@ def chebyshev_smooth(lv: LevelState, x, b, degree: int,
 # Cycles
 # ---------------------------------------------------------------------------
 
-def _coarse_solve(lv: LevelState, chol, b):
-    """Direct dense Cholesky solve at the coarsest level.
+def _coarse_solve(lv: LevelState, coarse, b):
+    """Coarsest-level solve: dense Cholesky or precomputed NS inverse.
 
     (reference: vcycle coarsest-level CHOLMOD solve, MultigridSolver.hh:521-523)
     """
+    kind, data = coarse
     mask = lv.dirichlet_mask.reshape(-1)
     rhs = jnp.where(mask, 0.0, b.reshape(-1))
-    x = jax.scipy.linalg.cho_solve(chol, rhs)
+    if kind == "ns":
+        x = jnp.matmul(data, rhs, precision=_HIGHEST)
+    else:
+        x = jax.scipy.linalg.cho_solve(data, rhs)
     return x.reshape(b.shape)
 
 
-def factor_coarsest(levels: List[LevelState]):
+def _coarsest_dense_k(levels: List[LevelState]):
     lv = levels[-1]
     K = solvers.assemble_dense_k_traced(lv.Ke, lv.grid)
     mask = lv.dirichlet_mask.reshape(-1)
@@ -870,8 +874,58 @@ def factor_coarsest(levels: List[LevelState]):
     # (uniform!) density scale's rounding realization (NaN at rho=0.2864,
     # fine at 0.28, on a 60x20 MBB with mgl=2).
     eps = 1e-4 if K.dtype == jnp.float32 else 1e-12
-    K = K + jnp.diag(eps * jnp.diagonal(K))
-    return jax.scipy.linalg.cho_factor(K, lower=True)
+    return K + jnp.diag(eps * jnp.diagonal(K))
+
+
+def factor_coarsest(levels: List[LevelState], method: str = "cholesky"):
+    """Prepare the coarsest-level solve operator.
+
+    method="cholesky": dense cho_factor (exact; the float64 parity path).
+    method="ns": Jacobi-scaled Newton–Schulz inverse — matmul-only, so it
+    runs on the MXU instead of the serial-structure-bound triangular
+    factorization path (measured ~70-80 ms for a 675-dof cho_factor on
+    v5e vs ~1-2 ms of 675^3 matmuls). X_k is a polynomial in the scaled K,
+    hence symmetric PD: the MG preconditioner stays SPD and PCG-safe.
+    Jacobi pre-scaling D^-1/2 K D^-1/2 removes the SIMP modulus contrast
+    from the spectrum, keeping the fp32 Newton-Schulz residual floor
+    (~kappa_hat * eps) far below preconditioner-quality requirements.
+    """
+    K = _coarsest_dense_k(levels)
+    if method == "cholesky":
+        return ("chol", jax.scipy.linalg.cho_factor(K, lower=True))
+    assert method == "ns", method
+    return ("ns", ns_inverse(K))
+
+
+def ns_inverse(K: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
+    """Jacobi-scaled Newton-Schulz inverse of a dense SPD matrix.
+
+    Matmul-only (MXU-bound, no serial triangular structure); the result
+    is a polynomial in the scaled K congruence-transformed back, hence
+    symmetric PD. Used as the coarsest-level solve of the fp32 MG
+    preconditioner. K must have a strictly positive diagonal (the masked
+    + Tikhonov-shifted coarsest K satisfies this by construction).
+    """
+    d = jnp.diagonal(K)
+    s = jax.lax.rsqrt(d)
+    Khat = (K * s[:, None]) * s[None, :]
+    n = K.shape[0]
+    eye = jnp.eye(n, dtype=K.dtype)
+    # X0 = I/||Khat||_1: for symmetric K, ||K||_2 <= ||K||_1, so the
+    # spectrum of I - Khat X0 lies in [0, 1) and X_{k+1} = X_k(2I - Khat X_k)
+    # converges monotonically (residual squares each iteration).
+    norm1 = jnp.max(jnp.sum(jnp.abs(Khat), axis=1))
+    X0 = eye * (1.0 / norm1)
+
+    def body(_, X):
+        KX = jnp.matmul(Khat, X, precision=_HIGHEST)
+        return jnp.matmul(X, 2.0 * eye - KX, precision=_HIGHEST)
+
+    # `iters` doublings cover a Jacobi-scaled condition number up to ~1e7
+    # (2^30 >= kappa_hat * ln(1/eps)); extra iterations past convergence
+    # are harmless (X is a fixed point) and the matmuls are trivial.
+    X = jax.lax.fori_loop(0, iters, body, X0)
+    return (s[:, None] * X) * s[None, :]
 
 
 def _smooth(lv: LevelState, x, b, nsmooth: int, forward: bool,
@@ -992,6 +1046,19 @@ class MGSolverSettings:
     # the 2D bridge's 250x125) make_mg_solver falls back to "jacobi"
     # automatically.
     precond: str = "mg"
+    # Coarsest-level solve: "cholesky" (exact dense factorization; the
+    # float64 parity path), "ns" (Jacobi-scaled Newton-Schulz inverse —
+    # matmul-only, avoids the serial-structure-bound cho_factor that
+    # costs ~70-80 ms/step on v5e at a 675-dof coarsest level), or
+    # "auto" = ns for float32 hierarchies, cholesky for float64.
+    coarse_solver: str = "auto"
+
+
+def _resolve_coarse_solver(settings: "MGSolverSettings",
+                           levels: List[LevelState]) -> str:
+    if settings.coarse_solver != "auto":
+        return settings.coarse_solver
+    return "ns" if levels[-1].Ke.dtype == jnp.float32 else "cholesky"
 
 
 def mgpcg_solve(
@@ -1035,7 +1102,7 @@ def mgpcg_solve(
                            precision=_HIGHEST)
             return _zero_dirichlet(levels[0], z)
     else:
-        chol = factor_coarsest(levels)
+        chol = factor_coarsest(levels, _resolve_coarse_solver(settings, levels))
 
         def precond(r):
             s = mg_preconditioner(
@@ -1128,7 +1195,7 @@ def _mgpcg_solve_refined(
                            precision=_HIGHEST)
             return _zero_dirichlet(lv0, z)
     else:
-        chol = factor_coarsest(levels)
+        chol = factor_coarsest(levels, _resolve_coarse_solver(settings, levels))
 
         def precond32(r):
             s = mg_preconditioner(

@@ -421,8 +421,11 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
         return levels
 
     def factor_coarse(levels):
-        """All-gather the coarsest Ke and factor the dense global coarse K
-        (replicated — identical on every shard)."""
+        """All-gather the coarsest Ke and prepare the dense global coarse
+        solve (replicated — identical on every shard). fp32 hierarchies
+        use the matmul-only Newton-Schulz inverse (multigrid.ns_inverse:
+        MXU-bound, unlike the serial-structure-bound cho_factor that
+        costs tens of ms per rebuild on TPU); float64 keeps Cholesky."""
         Ke_l = levels[-1]["Ke"]
         Ke_g = jax.lax.all_gather(Ke_l, AXIS)      # (n, L_c, rest..., d, d)
         Ke_g = Ke_g.reshape((-1,) + Ke_g.shape[2:])
@@ -432,11 +435,14 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
         Kd = Kd + jnp.diag(m.astype(Kd.dtype))
         eps = coarse_shift if Kd.dtype == jnp.float32 else 1e-12
         Kd = Kd + jnp.diag(eps * jnp.diagonal(Kd))
-        return jax.scipy.linalg.cho_factor(Kd, lower=True)
+        if Kd.dtype == jnp.float32:
+            return ("ns", mg.ns_inverse(Kd))
+        return ("chol", jax.scipy.linalg.cho_factor(Kd, lower=True))
 
-    def coarse_solve(chol, b_l):
+    def coarse_solve(coarse, b_l):
         """Gather the coarse rhs, replicated dense solve, return the
         local slab (with its shared boundary planes)."""
+        kind, data = coarse
         lgc = local_grids[-1]
         Lc = lgc.dims[0]
         b_g = jax.lax.all_gather(b_l, AXIS)        # (n, Lc+1, rest..., N)
@@ -444,7 +450,12 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
         b_full = jnp.concatenate(parts, axis=0)
         m = jnp.asarray(coarse_mask_flat)
         rhs = jnp.where(m, 0.0, b_full.reshape(-1))
-        x = jax.scipy.linalg.cho_solve(chol, rhs).reshape(b_full.shape)
+        if kind == "ns":
+            x = jnp.matmul(data, rhs,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            x = jax.scipy.linalg.cho_solve(data, rhs)
+        x = x.reshape(b_full.shape)
         idx = jax.lax.axis_index(AXIS)
         return jax.lax.dynamic_slice_in_dim(x, idx * Lc, Lc + 1, axis=0)
 

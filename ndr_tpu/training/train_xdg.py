@@ -142,7 +142,9 @@ def main(argv=None):
 
     def checkpoint_cb(i, state):
         if (i + 1) % ckp_step == 0:
-            ckpt.save_checkpoint(
+            # async: the training loop pays only the dispatch, not the
+            # bulk device->host transfer + disk write
+            ckpt.save_checkpoint_async(
                 os.path.join(args.out, f"{title}_iter{i}.npz"),
                 state.params, state.buffers, ncfg.sigma,
                 step=int(state.step), opt_state=state.opt_state,
@@ -209,6 +211,7 @@ def main(argv=None):
         os.path.join(args.out, title), {"density": rho},
         spacing=tuple(grid.stretchings) + (1.0,) * (3 - grid.ndim),
     )
+    ckpt.wait_checkpoints()
     ckpt.save_checkpoint(
         os.path.join(args.out, f"{title}.npz"),
         state.params, state.buffers, ncfg.sigma,

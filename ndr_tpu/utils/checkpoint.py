@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -70,7 +71,65 @@ def save_checkpoint(
         for k, v in _flatten_with_paths(opt_state).items():
             payload[f"opt/{k}"] = v
     payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **payload)
+    # atomic write: a crash (or a reader racing a periodic save) never
+    # sees a half-written resume file
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, final)
+
+
+_PENDING: list = []
+
+
+def save_checkpoint_async(
+    path: str,
+    params,
+    buffers,
+    scale: float,
+    step: Optional[int] = None,
+    opt_state=None,
+):
+    """Non-blocking checkpoint save for very large fields.
+
+    Starts the device->host copies immediately (copy_to_host_async), then
+    serializes + writes the .npz on a background thread so the training
+    loop only pays the dispatch, not the (slow through a remote-device
+    tunnel) bulk transfer + disk write. At most one write is in flight:
+    a new save first joins the previous one, preserving write order.
+    Call ``wait_checkpoints()`` before reading the file or exiting.
+    (TPU-native analogue of orbax's async checkpointing; the on-disk
+    format is the same validated .npz as save_checkpoint.)
+    """
+    # snapshot to fresh device buffers first: the training step donates
+    # its state arrays, so the caller's leaves may be deleted by the next
+    # step before the background thread serializes them. A device-side
+    # copy is HBM-bandwidth cheap and never aliases the donated buffer.
+    import jax.numpy as jnp
+
+    def snap(x):
+        return jnp.copy(x) if isinstance(x, jax.Array) else x
+
+    params, buffers, opt_state = jax.tree_util.tree_map(
+        snap, (params, buffers, opt_state))
+    for leaf in jax.tree_util.tree_leaves((params, buffers, opt_state)):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+    wait_checkpoints()
+    t = threading.Thread(
+        target=save_checkpoint,
+        args=(path, params, buffers, scale, step, opt_state),
+        daemon=True,
+    )
+    t.start()
+    _PENDING.append(t)
+
+
+def wait_checkpoints():
+    """Join any in-flight async checkpoint write."""
+    while _PENDING:
+        _PENDING.pop().join()
 
 
 def _restore_tree(data, prefix, template):

@@ -181,13 +181,14 @@ def main():
                 power_iters=settings.lmax_power_iters,
                 use_pallas=use_pallas,
                 cached_ke_dtype=settings.cached_ke_dtype)
-            chol = mg.factor_coarsest(levels)
+            chol = mg.factor_coarsest(
+                levels, mg._resolve_coarse_solver(settings, levels))
             outs = [lv.Minv_rows for lv in levels]
             outs += [lv.Ke for lv in levels if lv.Ke is not None]
             outs += [lv.Ke_stream for lv in levels if lv.Ke_stream is not None]
             outs += [lv.Dinv for lv in levels if lv.Dinv is not None]
             outs += [lv.lmax for lv in levels if lv.lmax is not None]
-            outs.append(chol[0])
+            outs.append(chol[1][0] if chol[0] == 'chol' else chol[1])
             return outs
 
         t_hier = timeit(jax.jit(hier_arrays), (young32,), args.reps,
@@ -202,7 +203,8 @@ def main():
                 power_iters=settings.lmax_power_iters,
                 use_pallas=use_pallas,
                 cached_ke_dtype=settings.cached_ke_dtype)
-            chol = mg.factor_coarsest(levels)
+            chol = mg.factor_coarsest(
+                levels, mg._resolve_coarse_solver(settings, levels))
 
             def body(i, r):
                 return mg.mg_preconditioner(
@@ -301,7 +303,8 @@ def main():
                 power_iters=settings.lmax_power_iters,
                 use_pallas=use_pallas,
                 cached_ke_dtype=settings.cached_ke_dtype)
-            return levels, mg.factor_coarsest(levels)
+            return levels, mg.factor_coarsest(
+                levels, mg._resolve_coarse_solver(settings, levels))
 
         def hier_only(young):
             levels, chol = build_levels(young)
@@ -310,7 +313,7 @@ def main():
             outs += [lv.Ke_stream for lv in levels
                      if lv.Ke_stream is not None]
             outs += [lv.Dinv for lv in levels if lv.Dinv is not None]
-            outs.append(chol[0])
+            outs.append(chol[1][0] if chol[0] == 'chol' else chol[1])
             return outs
 
         t_hier = timeit(jax.jit(hier_only), (young32,), args.reps,
@@ -436,6 +439,17 @@ def main():
                           mg_iterations=2),
         "prod_mgl6_fmg0": dict(lmax_power_iters=0, cheb_degree=1,
                                num_levels=6, full_multigrid=False),
+        # Newton-Schulz coarsest inverse (matmul-only; replaces the
+        # serial-bound cho_factor) vs the Cholesky baseline, and mgl
+        # re-sweeps now that the coarsest "factor" cost is MXU-bound
+        "prod_ns": dict(lmax_power_iters=0, cheb_degree=1,
+                        coarse_solver="ns"),
+        "prod_cho": dict(lmax_power_iters=0, cheb_degree=1,
+                         coarse_solver="cholesky"),
+        "prod_ns_mgl4": dict(lmax_power_iters=0, cheb_degree=1,
+                             coarse_solver="ns", num_levels=4),
+        "prod_ns_mgl6": dict(lmax_power_iters=0, cheb_degree=1,
+                             coarse_solver="ns", num_levels=6),
     }
     for name in [v for v in args.variants.split(",") if v]:
         kw = VARIANTS[name]

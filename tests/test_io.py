@@ -120,3 +120,25 @@ def test_checkpoint_validates_structure_and_shapes(tmp_path):
     p4, b4 = models.init_mlp(jax.random.PRNGKey(1), cfg4)
     with pytest.raises(ValueError, match="shape"):
         ckpt.load_checkpoint(path, p4, b4, None)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint_async + wait_checkpoints writes the same validated
+    .npz as the synchronous path, atomically (no .tmp left behind)."""
+    from ndr_tpu import models
+    from ndr_tpu.utils import checkpoint as ckpt
+
+    cfg = models.MLPConfig(in_features=2, n_neurons=8, n_layers=2,
+                           embedding_size=4, scale=1.5)
+    params, buffers = models.init_mlp(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "ck_async.npz")
+    ckpt.save_checkpoint_async(path, params, buffers, scale=1.5, step=3)
+    # a second save must serialize behind the first (ordered writes)
+    ckpt.save_checkpoint_async(path, params, buffers, scale=1.5, step=4)
+    ckpt.wait_checkpoints()
+    assert not os.path.exists(path + ".tmp")
+    p2, b2, s, step, _ = ckpt.load_checkpoint(path, params, buffers)
+    assert (s, step) == (1.5, 4)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

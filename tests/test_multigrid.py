@@ -339,3 +339,51 @@ def test_incremental_gs_sweep_matches_naive(prob_path, dims, levels):
         ref = naive_sweep(u0, forward)
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(ref), rtol=1e-11, atol=1e-11)
+
+
+def test_newton_schulz_coarse_inverse():
+    """The matmul-only Newton-Schulz coarsest inverse must (a) solve the
+    coarsest system to preconditioner-quality accuracy vs the Cholesky
+    factorization it replaces, and (b) leave the end-to-end MGPCG
+    solution and iteration count essentially unchanged."""
+    cfg, prob, grid = _problem("problems/3d/cantilever_flexion.json",
+                               (16, 8, 8))
+    prob32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, prob)
+    rng = np.random.default_rng(7)
+    rho = jnp.asarray(rng.uniform(0.05, 1.0, size=grid.dims), jnp.float32)
+    mgc = mg.build_mg_config(prob32, 2)
+    levels = mg.build_level_states(mgc, prob32, prob32.young(rho),
+                                   smoother="chebyshev", power_iters=0)
+
+    kind_c, chol = mg.factor_coarsest(levels, "cholesky")
+    kind_n, X = mg.factor_coarsest(levels, "ns")
+    assert (kind_c, kind_n) == ("chol", "ns")
+
+    lvc = levels[-1]
+    b = jnp.asarray(
+        rng.standard_normal(lvc.grid.nodes_per_dim + (grid.ndim,)),
+        jnp.float32)
+    x_cho = mg._coarse_solve(lvc, ("chol", chol), b)
+    x_ns = mg._coarse_solve(lvc, ("ns", X), b)
+    err = float(jnp.linalg.norm((x_ns - x_cho).reshape(-1))
+                / jnp.linalg.norm(x_cho.reshape(-1)))
+    assert err < 1e-3, err
+
+    # X is symmetric (a polynomial in the Jacobi-scaled K, congruence-
+    # transformed back) -- required for the MG preconditioner to stay SPD
+    sym = float(jnp.max(jnp.abs(X - X.T)) / jnp.max(jnp.abs(X)))
+    assert sym < 1e-5, sym
+
+    us, its = {}, {}
+    for cs in ("cholesky", "ns"):
+        st = mg.MGSolverSettings(num_levels=2, cg_iter=100, tol=1e-6,
+                                 smoother="chebyshev", lmax_power_iters=0,
+                                 mixed_precision=False, coarse_solver=cs)
+        u, iters = mg.make_mg_solver(prob32, st)(rho, None)
+        us[cs], its[cs] = u, int(iters)
+    np.testing.assert_allclose(np.asarray(us["ns"]),
+                               np.asarray(us["cholesky"]),
+                               atol=2e-5 * float(jnp.max(jnp.abs(us["cholesky"]))))
+    assert its["ns"] <= its["cholesky"] + 1, its
