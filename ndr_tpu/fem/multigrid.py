@@ -650,6 +650,7 @@ def build_level_states(
     cfg: MGConfig, prob: FEMProblem, young: jnp.ndarray,
     smoother: str = "gs", power_iters: int = 8, use_pallas: bool = False,
     cached_ke_dtype: Optional[str] = None,
+    masks: Optional[Sequence[jnp.ndarray]] = None,
 ) -> List[LevelState]:
     # the fused Pallas kernel is fp32-only (TPUs have no native f64);
     # float64 problems take the XLA apply
@@ -710,8 +711,16 @@ def build_level_states(
         states.append(
             LevelState(
                 grid=lev.grid,
-                dirichlet_mask=jnp.asarray(lev.dirichlet_mask),
-                color_masks=jnp.asarray(lev.color_masks),
+                # per-level Dirichlet masks: jit operands when the caller
+                # hoists them (`masks`), else inlined constants. The GS
+                # color masks (2^N full-size bools per level) stay numpy
+                # unless the GS smoother actually consumes them — for
+                # Chebyshev they would otherwise bloat every traced
+                # module as dead ~4-33 MB literals.
+                dirichlet_mask=(jnp.asarray(lev.dirichlet_mask)
+                                if masks is None else masks[l]),
+                color_masks=(jnp.asarray(lev.color_masks)
+                             if smoother == "gs" else lev.color_masks),
                 young=young if l == 0 else None,
                 Ke=Ke,
                 Minv_rows=M,
@@ -779,10 +788,24 @@ def _estimate_lmax(lv: LevelState, iters: int) -> jnp.ndarray:
 
 
 def chebyshev_core(apply_fn, dinv_fn, zero_fn, lmax, x, b, degree: int,
-                   lower_frac: float = 0.25, x_is_zero: bool = False):
+                   lower_frac: float = 0.25, x_is_zero: bool = False,
+                   need_r: bool = False, r0=None):
     """Degree-`degree` Chebyshev polynomial smoothing on D^-1 K, written
     against abstract (apply, D^-1, Dirichlet-zero) operators so the
     single-chip and shard_map paths share the exact same polynomial.
+
+    Returns ``(x, r)``. The smoother maintains the residual
+    incrementally anyway, so callers that need ``b - K x`` next (the
+    V-cycle's restriction right after pre-smoothing) get it FOR FREE —
+    one whole stiffness apply saved per level. Symmetrically, when
+    ``need_r=False`` the final iteration skips its residual update and
+    D^-1 apply (nobody consumes them; ``r`` is returned as ``None``):
+    the post-smoother saves another apply. Together: 2D+2 -> 2D fine
+    applies per V-cycle level at total degree D.
+
+    ``r0`` (optional) is a precomputed ``zero_fn(b - K x)`` for the
+    incoming ``x``, skipping the initial apply (shard_map path chains
+    smoothing iterations this way).
     """
     lmin = lower_frac * lmax
     theta = 0.5 * (lmax + lmin)
@@ -791,7 +814,10 @@ def chebyshev_core(apply_fn, dinv_fn, zero_fn, lmax, x, b, degree: int,
 
     # skip the initial stiffness apply when x == 0 (every correction
     # V-cycle starts from a zero guess)
-    r = b if x_is_zero else zero_fn(b - apply_fn(x))
+    if r0 is not None:
+        r = r0
+    else:
+        r = b if x_is_zero else zero_fn(b - apply_fn(x))
     z = dinv_fn(r)
     d = z / theta
     rho = 1.0 / sigma1
@@ -809,14 +835,20 @@ def chebyshev_core(apply_fn, dinv_fn, zero_fn, lmax, x, b, degree: int,
         return x, r, d, rho_new
 
     x, r, d, rho = jax.lax.fori_loop(
-        0, degree, body, (x, r, d, rho * jnp.ones_like(lmax))
+        0, degree - 1, body, (x, r, d, rho * jnp.ones_like(lmax))
     )
-    return x
+    # final iteration: only the x update is unconditionally needed
+    x = x + d
+    if not need_r:
+        return x, None
+    return x, zero_fn(r - apply_fn(d))
 
 
 def chebyshev_smooth(lv: LevelState, x, b, degree: int,
-                     lower_frac: float = 0.25, x_is_zero: bool = False):
-    """Chebyshev smoothing on a LevelState.
+                     lower_frac: float = 0.25, x_is_zero: bool = False,
+                     need_r: bool = False):
+    """Chebyshev smoothing on a LevelState; returns ``(x, r)`` where
+    ``r = b - K x`` is free when requested (see :func:`chebyshev_core`).
 
     TPU-first replacement for multicolor Gauss-Seidel: one stiffness
     apply per degree, no sequential color passes, and (being a fixed
@@ -833,6 +865,7 @@ def chebyshev_smooth(lv: LevelState, x, b, degree: int,
         lambda r: _dinv_apply(lv, r),
         lambda v: _zero_dirichlet(lv, v),
         lv.lmax, x, b, degree, lower_frac=lower_frac, x_is_zero=x_is_zero,
+        need_r=need_r,
     )
 
 
@@ -929,14 +962,17 @@ def ns_inverse(K: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
 
 
 def _smooth(lv: LevelState, x, b, nsmooth: int, forward: bool,
-            smoother: str, cheb_degree: int, x_is_zero: bool = False):
+            smoother: str, cheb_degree: int, x_is_zero: bool = False,
+            need_r: bool = False):
+    """Returns ``(x, r)``; ``r`` is ``b - K x`` when the smoother yields
+    it for free (Chebyshev with ``need_r``), else ``None``."""
     if smoother == "chebyshev":
         # degree plays the role of "sweeps"; direction is irrelevant
         return chebyshev_smooth(lv, x, b, degree=cheb_degree * nsmooth,
-                                x_is_zero=x_is_zero)
+                                x_is_zero=x_is_zero, need_r=need_r)
     for _ in range(nsmooth):
         x = gs_sweep(lv, x, b, forward=forward)
-    return x
+    return x, None
 
 
 def vcycle(levels, chol, l, x, b, nsmooth: int, symmetric_gs: bool = True,
@@ -946,14 +982,16 @@ def vcycle(levels, chol, l, x, b, nsmooth: int, symmetric_gs: bool = True,
         return _coarse_solve(levels[l], chol, b)
     lv = levels[l]
     x = x if x_zero else _zero_dirichlet(lv, x)
-    x = _smooth(lv, x, b, nsmooth, True, smoother, cheb_degree,
-                x_is_zero=x_zero)
-    r = _zero_dirichlet(lv, b - _apply_k_level(lv, x))
+    x, r = _smooth(lv, x, b, nsmooth, True, smoother, cheb_degree,
+                   x_is_zero=x_zero, need_r=True)
+    if r is None:  # GS path: explicit residual
+        r = _zero_dirichlet(lv, b - _apply_k_level(lv, x))
     b_c = restrict(r, lv.grid.ndim)
     x_c = vcycle(levels, chol, l + 1, jnp.zeros_like(b_c), b_c, nsmooth,
                  symmetric_gs, smoother, cheb_degree, x_zero=True)
     x = x + prolongate(x_c, lv.grid.ndim)
-    x = _smooth(lv, x, b, nsmooth, not symmetric_gs, smoother, cheb_degree)
+    x, _ = _smooth(lv, x, b, nsmooth, not symmetric_gs, smoother,
+                   cheb_degree)
     return x
 
 
@@ -1067,6 +1105,7 @@ def mgpcg_solve(
     rho: jnp.ndarray,
     u0: Optional[jnp.ndarray],
     settings: MGSolverSettings,
+    masks: Optional[Sequence[jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full MGPCG equilibrium solve K(rho) u = f.
 
@@ -1082,13 +1121,13 @@ def mgpcg_solve(
         and prob.force.dtype == jnp.float32
         and jax.config.jax_enable_x64
     ):
-        return _mgpcg_solve_refined(cfg, prob, rho, u0, settings)
+        return _mgpcg_solve_refined(cfg, prob, rho, u0, settings, masks)
     young = prob.young(rho)
     levels = build_level_states(
         cfg, prob, young, smoother=settings.smoother,
         power_iters=settings.lmax_power_iters,
         use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
-        cached_ke_dtype=settings.cached_ke_dtype)
+        cached_ke_dtype=settings.cached_ke_dtype, masks=masks)
 
     def apply_a(u):
         return _zero_dirichlet(levels[0], _apply_k_level(levels[0], _zero_dirichlet(levels[0], u)))
@@ -1130,6 +1169,7 @@ def _mgpcg_solve_refined(
     rho: jnp.ndarray,
     u0: Optional[jnp.ndarray],
     settings: MGSolverSettings,
+    masks: Optional[Sequence[jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Float64 iterative refinement around the fp32 MGPCG.
 
@@ -1146,7 +1186,7 @@ def _mgpcg_solve_refined(
         cfg, prob, young32, smoother=settings.smoother,
         power_iters=settings.lmax_power_iters,
         use_pallas=use_pallas,
-        cached_ke_dtype=settings.cached_ke_dtype)
+        cached_ke_dtype=settings.cached_ke_dtype, masks=masks)
     lv0 = levels[0]
 
     K0_64 = jnp.asarray(np.asarray(cfg.K0), f64)
@@ -1293,7 +1333,13 @@ def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):
     cfg = build_mg_config(prob, nl,
                           ke_cache_limit_bytes=settings.ke_cache_limit_bytes)
 
-    def solve(rho, u0=None):
-        return mgpcg_solve(cfg, prob, rho, u0, settings)
+    def solve(rho, u0=None, prob=prob, masks=None):
+        # `prob`/`masks` overrides let a driver pass the problem arrays
+        # (force, fine+coarse Dirichlet masks) as jit OPERANDS instead of
+        # closure constants — at 4M voxels the inlined force + masks are
+        # ~40-65 MB of StableHLO literals per traced module, enough to
+        # crash the remote compile service (TODO.md)
+        return mgpcg_solve(cfg, prob, rho, u0, settings, masks=masks)
 
+    solve.cfg = cfg
     return solve

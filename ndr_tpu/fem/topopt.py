@@ -78,11 +78,16 @@ def solve_displacement_cg(
 # Compliance with closed-form adjoint
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+@jax.custom_vjp
 def compliance_with_adjoint(rho: jnp.ndarray, u: jnp.ndarray, prob: FEMProblem):
     """compliance = 1/2 f^T u, with d(compliance)/d(rho) given by the
     self-adjoint closed form (u is treated as the exact equilibrium of
     K(rho) u = f; no gradient flows into u).
+
+    `prob` is a differentiable pytree argument with zero cotangents (not
+    nondiff_argnums) so drivers may pass it as a traced jit operand —
+    inlining the force field as a module literal is what bloated remote
+    compiles at 4M voxels.
 
     (reference: ComplianceObjective::compliance + TPS::complianceGradient)
     """
@@ -91,16 +96,24 @@ def compliance_with_adjoint(rho: jnp.ndarray, u: jnp.ndarray, prob: FEMProblem):
 
 def _compliance_fwd(rho, u, prob):
     c = 0.5 * jnp.vdot(prob.force, u, precision=_HIGHEST)
-    return c, (rho, u)
+    return c, (rho, u, prob)
 
 
-def _compliance_bwd(prob, res, g):
-    rho, u = res
+def _zero_cotangent(x):
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    import numpy as _np
+    return _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
+
+
+def _compliance_bwd(res, g):
+    rho, u, prob = res
     # the adjoint gradient only needs the working precision of rho —
     # cast u down so the (hot) gradient einsums stay in fp32 even when
     # the mixed-precision solver hands back a float64 equilibrium
     grad = prob.compliance_gradient(u.astype(rho.dtype), rho)
-    return ((g * grad).astype(rho.dtype), jnp.zeros_like(u))
+    zero_prob = jax.tree_util.tree_map(_zero_cotangent, prob)
+    return ((g * grad).astype(rho.dtype), jnp.zeros_like(u), zero_prob)
 
 
 compliance_with_adjoint.defvjp(_compliance_fwd, _compliance_bwd)

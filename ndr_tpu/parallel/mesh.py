@@ -459,23 +459,30 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
         idx = jax.lax.axis_index(AXIS)
         return jax.lax.dynamic_slice_in_dim(x, idx * Lc, Lc + 1, axis=0)
 
-    def smooth(lv, x, b, x_is_zero=False):
+    def smooth(lv, x, b, x_is_zero=False, need_r=False):
+        # chain the smoother's incrementally-maintained residual between
+        # sweeps (r0) and into the V-cycle's restriction (need_r): one
+        # halo'd stiffness apply saved per hand-off
+        # (see multigrid.chebyshev_core)
+        r = None
         for k in range(mg_smoothing_iterations):
-            x = mg.chebyshev_core(lv["apply"], lv["dinv"], lv["zero"],
-                                  lv["lmax"], x, b, cheb_degree,
-                                  x_is_zero=x_is_zero and k == 0)
-        return x
+            last = k == mg_smoothing_iterations - 1
+            x, r = mg.chebyshev_core(lv["apply"], lv["dinv"], lv["zero"],
+                                     lv["lmax"], x, b, cheb_degree,
+                                     x_is_zero=x_is_zero and k == 0,
+                                     need_r=need_r or not last, r0=r)
+        return x, r
 
     def vcycle(levels, chol, l, x, b, x_is_zero=False):
         if l == num_levels:
             return coarse_solve(chol, b)
-        x = smooth(levels[l], x, b, x_is_zero=x_is_zero)
-        r = levels[l]["zero"](b - levels[l]["apply"](x))
+        x, r = smooth(levels[l], x, b, x_is_zero=x_is_zero, need_r=True)
         r_c = levels[l + 1]["zero"](restrict_sharded(r, ndim))
         e_c = vcycle(levels, chol, l + 1, 0.0 * r_c,
                      r_c, x_is_zero=True)
         x = x + levels[l]["zero"](prolong_sharded(e_c, ndim))
-        return smooth(levels[l], x, b)
+        x, _ = smooth(levels[l], x, b)
+        return x
 
     def _cg(levels, chol, u0, b, tol_, tol_is_abs=False):
         """fp32 MGPCG given built levels; tol_ is relative to ||b||

@@ -151,9 +151,29 @@ def ground_truth_topopt(
         state = dataclasses.replace(state, x=jnp.asarray(res.x))
     else:
         # donate the state: x/physical fields alias in place, halving
-        # peak HBM for the two large per-voxel buffers at 4M+ voxels
-        step = jax.jit(lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol),
-                       donate_argnums=0)
+        # peak HBM for the two large per-voxel buffers at 4M+ voxels.
+        # The problem arrays (force, per-level Dirichlet masks) are jit
+        # OPERANDS, not closure constants: inlined they are ~40-65 MB of
+        # StableHLO literals per traced module at 4M voxels.
+        if hasattr(solve, "cfg"):
+            masks_op = tuple(jnp.asarray(lev.dirichlet_mask)
+                             for lev in solve.cfg.levels)
+
+            def _step_fn(p, masks, s):
+                t = dataclasses.replace(
+                    top, prob=p,
+                    solve=lambda rho, u0=None: solve(
+                        rho, u0, prob=p, masks=masks))
+                return topopt.oc_step(t, s, m=oc_move, ctol=oc_ctol)
+
+            _step = jax.jit(_step_fn, donate_argnums=2)
+
+            def step(s):
+                return _step(prob, masks_op, s)
+        else:
+            step = jax.jit(
+                lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol),
+                donate_argnums=0)
         t_iter = t_start
         with timers.section("OC optimization"):
             for idx in range(max_iter):
@@ -186,18 +206,26 @@ def ground_truth_topopt(
     # physical), and the binary number is of the *filtered* thresholded
     # physical field. The last OC trajectory value is the single-filtered one.
     @jax.jit
-    def final_eval(state):
+    def final_eval(p, masks, state):
         rho = top.physical_density(state.x)                 # physical (filtered)
         binary = (rho > 0.5).astype(dtype)
+        if masks is not None:
+            def solve_(r, u0):
+                return solve(r, u0, prob=p, masks=masks)
+        else:
+            solve_ = solve
         # reference binary: setVars(binary) -> filter chain -> solve
-        u_b, _ = solve(top.physical_density(binary), state.u)
-        c_binary = jnp.vdot(prob.force.astype(u_b.dtype), u_b)
+        u_b, _ = solve_(top.physical_density(binary), state.u)
+        c_binary = jnp.vdot(p.force.astype(u_b.dtype), u_b)
         # reference final soft: setVars(physical) -> filter chain -> solve
-        u_s, _ = solve(top.physical_density(rho), state.u)
-        c_soft = jnp.vdot(prob.force.astype(u_s.dtype), u_s)
+        u_s, _ = solve_(top.physical_density(rho), state.u)
+        c_soft = jnp.vdot(p.force.astype(u_s.dtype), u_s)
         return rho, c_soft, binary, c_binary
 
-    rho, c_soft, binary, c_binary = final_eval(state)
+    masks_fe = (tuple(jnp.asarray(lev.dirichlet_mask)
+                      for lev in solve.cfg.levels)
+                if hasattr(solve, "cfg") else None)
+    rho, c_soft, binary, c_binary = final_eval(prob, masks_fe, state)
     c_binary = float(c_binary)
 
     seconds = time.perf_counter() - t_start

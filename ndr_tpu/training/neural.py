@@ -161,15 +161,17 @@ def build_trainer(
 
     max_volume = jnp.asarray(cfg.max_volume, dtype)
 
-    def loss_fn(params, buffers, u0, coords_op, fdyn, fstatic):
+    def loss_fn(params, buffers, u0, coords_op, fdyn, fstatic,
+                prob_op, masks_op):
         rho = density_fn(params, buffers, coords_op, max_volume, fdyn, fstatic)
         # sever rho -> solve for AD: the compliance adjoint (self-adjoint
         # problem) carries the full gradient, so linearizing through the
         # MGPCG loop is pure waste — and the Pallas stiffness kernel has
         # no JVP rule anyway
-        u, iters = solve(jax.lax.stop_gradient(rho), u0)
+        u, iters = solve(jax.lax.stop_gradient(rho), u0,
+                         prob=prob_op, masks=masks_op)
         u = jax.lax.stop_gradient(u)
-        c = 2.0 * topopt.compliance_with_adjoint(rho, u, prob)
+        c = 2.0 * topopt.compliance_with_adjoint(rho, u, prob_op)
         loss = c
         if not hard:
             vloss = vol.satisfy_volume_constraint(
@@ -188,16 +190,19 @@ def build_trainer(
         # Gaussian kernel size change rarely under a geometric schedule)
         # donating the state halves peak HBM for the warm-start u field
         # (86 MB f64 at 192x96x96) and the params/opt tree
-        # coords is an explicit operand, NOT a closure constant: closure
-        # arrays are lowered as dense literals in the StableHLO module,
-        # and the 1.77M-point coordinate grid (21 MB) appears twice more
-        # under grad's transpose — observed 65 MB modules that crashed
-        # the remote TPU compile service at 192x96x96
+        # coords/prob/masks are explicit operands, NOT closure constants:
+        # closure arrays are lowered as dense literals in the StableHLO
+        # module — the 1.77M-point coordinate grid (21 MB) appears twice
+        # more under grad's transpose, plus the force field and per-level
+        # Dirichlet masks — observed 65 MB modules that crashed the
+        # remote TPU compile service at 192x96x96
         @functools.partial(jax.jit, donate_argnums=0)
-        def train_step(state: NeuralTOState, coords_op, fdyn=(None, None)):
+        def train_step(state: NeuralTOState, coords_op, prob_op, masks_op,
+                       fdyn=(None, None)):
             (loss, (c, u, iters)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, state.buffers, state.u, coords_op, fdyn, fstatic)
+            )(state.params, state.buffers, state.u, coords_op, fdyn,
+              fstatic, prob_op, masks_op)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -212,10 +217,14 @@ def build_trainer(
         return train_step
 
     coords_dev = jax.device_put(coords)
+    prob_dev = jax.device_put(prob)
+    masks_dev = tuple(jax.device_put(jnp.asarray(lev.dirichlet_mask))
+                      for lev in solve.cfg.levels)
 
     def train_step(state: NeuralTOState, fdyn=(None, None),
                    fstatic=(None, None)):
-        return make_step(tuple(fstatic))(state, coords_dev, fdyn)
+        return make_step(tuple(fstatic))(state, coords_dev, prob_dev,
+                                         masks_dev, fdyn)
 
     mixed = (
         settings.mixed_precision

@@ -228,15 +228,19 @@ def main(argv=None):
     state = dataclasses.replace(state, opt_state=None, u=None)
 
     @jax.jit
-    def eval_compliance(rho):
-        u, _ = aux["solve"](rho, None)
-        return 2.0 * _topo.compliance_with_adjoint(rho, u, aux["prob"])
+    def eval_compliance(rho, p, masks):
+        # prob/masks as operands (not inlined literals), as in the
+        # training step
+        u, _ = aux["solve"](rho, None, prob=p, masks=masks)
+        return 2.0 * _topo.compliance_with_adjoint(rho, u, p)
 
+    masks_fe = tuple(jnp.asarray(lev.dirichlet_mask)
+                     for lev in aux["solve"].cfg.levels)
     rho_j = jnp.asarray(rho, dtype)
-    c_final = float(eval_compliance(rho_j))
+    c_final = float(eval_compliance(rho_j, aux["prob"], masks_fe))
     binary = (rho_j > 0.5).astype(dtype)
     b_vol = float(jnp.mean(binary))
-    c_binary = float(eval_compliance(binary))
+    c_binary = float(eval_compliance(binary, aux["prob"], masks_fe))
     sys.stderr.write(
         f"Final compliance {c_final:.6f}, binary {c_binary:.6f}, "
         f"b-vol={b_vol:.7f}\n"

@@ -354,7 +354,7 @@ def main():
             settings.smoother, settings.cheb_degree, x_zero=True), r0)
         # level-0 chebyshev smooth at the production degree
         phase("smooth0", lambda lvs, ch, r, b: mg.chebyshev_smooth(
-            lvs[0], r, b, degree=deg), r0)
+            lvs[0], r, b, degree=deg)[0], r0)
         # level-0 residual (one stiffness apply + mask)
         phase("resid0", lambda lvs, ch, r, b: mg._zero_dirichlet(
             lvs[0], b - mg._apply_k_level(lvs[0], r)), r0)
@@ -372,7 +372,7 @@ def main():
             settings.smoother, settings.cheb_degree, x_zero=True), rc0)
         # level-1 smooth alone
         phase("smooth1", lambda lvs, ch, rc, b: mg.chebyshev_smooth(
-            lvs[1], rc, b, degree=deg), rc0)
+            lvs[1], rc, b, degree=deg)[0], rc0)
         if settings.num_levels >= 2:
             rcc0 = mg.restrict(rc0, ndim_)
             phase("vcycle2", lambda lvs, ch, rc, b: mg.vcycle(
@@ -450,6 +450,11 @@ def main():
                              coarse_solver="ns", num_levels=4),
         "prod_ns_mgl6": dict(lmax_power_iters=0, cheb_degree=1,
                              coarse_solver="ns", num_levels=6),
+        # reference-parity GS smoother on the production config
+        # (incremental-residual multicolor sweeps, ~2 applies/sweep):
+        # quantifies the GS-vs-Chebyshev per-step premium at scale
+        "prod_gs": dict(lmax_power_iters=0, smoother="gs",
+                        coarse_solver="ns"),
     }
     for name in [v for v in args.variants.split(",") if v]:
         kw = VARIANTS[name]
