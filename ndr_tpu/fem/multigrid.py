@@ -1099,6 +1099,14 @@ def _resolve_coarse_solver(settings: "MGSolverSettings",
     return "ns" if levels[-1].Ke.dtype == jnp.float32 else "cholesky"
 
 
+def _use_refined(prob: FEMProblem, settings: MGSolverSettings) -> bool:
+    return (
+        settings.mixed_precision
+        and prob.force.dtype == jnp.float32
+        and jax.config.jax_enable_x64
+    )
+
+
 def mgpcg_solve(
     cfg: MGConfig,
     prob: FEMProblem,
@@ -1106,6 +1114,7 @@ def mgpcg_solve(
     u0: Optional[jnp.ndarray],
     settings: MGSolverSettings,
     masks: Optional[Sequence[jnp.ndarray]] = None,
+    precond_state=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full MGPCG equilibrium solve K(rho) u = f.
 
@@ -1115,22 +1124,32 @@ def mgpcg_solve(
     preconditionedConjugateGradient). For float32 problems with
     ``settings.mixed_precision`` the solve runs as float64 iterative
     refinement around the fp32 MGPCG (see MGSolverSettings).
+
+    ``precond_state`` (optional): a lagged ``(levels, chol)`` pair from
+    :func:`build_precond_leaves` / :func:`levels_from_leaves`, built at
+    an EARLIER density. The CG operator (and the refined path's true
+    residual) always uses the CURRENT ``rho`` exactly — a stale
+    hierarchy only preconditions, so it costs CG iterations, never
+    correctness. Under OC's move limit the density drifts slowly, so
+    rebuilding the ~100 ms hierarchy every k steps amortizes it away.
     """
-    if (
-        settings.mixed_precision
-        and prob.force.dtype == jnp.float32
-        and jax.config.jax_enable_x64
-    ):
-        return _mgpcg_solve_refined(cfg, prob, rho, u0, settings, masks)
+    if _use_refined(prob, settings):
+        return _mgpcg_solve_refined(cfg, prob, rho, u0, settings, masks,
+                                    precond_state)
     young = prob.young(rho)
-    levels = build_level_states(
-        cfg, prob, young, smoother=settings.smoother,
-        power_iters=settings.lmax_power_iters,
-        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
-        cached_ke_dtype=settings.cached_ke_dtype, masks=masks)
+    if precond_state is None:
+        levels = build_level_states(
+            cfg, prob, young, smoother=settings.smoother,
+            power_iters=settings.lmax_power_iters,
+            use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
+            cached_ke_dtype=settings.cached_ke_dtype, masks=masks)
+        lv0_op = levels[0]
+    else:
+        levels, _pchol = precond_state
+        lv0_op = dataclasses.replace(levels[0], young=young)
 
     def apply_a(u):
-        return _zero_dirichlet(levels[0], _apply_k_level(levels[0], _zero_dirichlet(levels[0], u)))
+        return _zero_dirichlet(lv0_op, _apply_k_level(lv0_op, _zero_dirichlet(lv0_op, u)))
 
     if settings.precond == "jacobi":
         Dinv0 = (levels[0].Dinv if levels[0].Dinv is not None
@@ -1141,7 +1160,8 @@ def mgpcg_solve(
                            precision=_HIGHEST)
             return _zero_dirichlet(levels[0], z)
     else:
-        chol = factor_coarsest(levels, _resolve_coarse_solver(settings, levels))
+        chol = (_pchol if precond_state is not None else
+                factor_coarsest(levels, _resolve_coarse_solver(settings, levels)))
 
         def precond(r):
             s = mg_preconditioner(
@@ -1170,6 +1190,7 @@ def _mgpcg_solve_refined(
     u0: Optional[jnp.ndarray],
     settings: MGSolverSettings,
     masks: Optional[Sequence[jnp.ndarray]] = None,
+    precond_state=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Float64 iterative refinement around the fp32 MGPCG.
 
@@ -1178,16 +1199,24 @@ def _mgpcg_solve_refined(
     meaningful criterion as the reference (MultigridSolver.hh:704-708),
     now measured on the *true* residual. Inner loop: fp32 MGPCG on the
     correction system to `inner_tol` relative reduction.
+
+    With ``precond_state`` the hierarchy rebuild is skipped: the lagged
+    levels drive the preconditioner only, while the fp32 operator and the
+    float64 true residual use the CURRENT density (see mgpcg_solve).
     """
     f32, f64 = jnp.float32, jnp.float64
     young32 = prob.young(rho).astype(f32)
     use_pallas = resolve_use_pallas(settings.use_pallas, prob.grid)
-    levels = build_level_states(
-        cfg, prob, young32, smoother=settings.smoother,
-        power_iters=settings.lmax_power_iters,
-        use_pallas=use_pallas,
-        cached_ke_dtype=settings.cached_ke_dtype, masks=masks)
-    lv0 = levels[0]
+    if precond_state is None:
+        levels = build_level_states(
+            cfg, prob, young32, smoother=settings.smoother,
+            power_iters=settings.lmax_power_iters,
+            use_pallas=use_pallas,
+            cached_ke_dtype=settings.cached_ke_dtype, masks=masks)
+        lv0 = levels[0]
+    else:
+        levels, _pchol = precond_state
+        lv0 = dataclasses.replace(levels[0], young=young32)
 
     K0_64 = jnp.asarray(np.asarray(cfg.K0), f64)
     young64 = ops.element_young_modulus(
@@ -1235,7 +1264,8 @@ def _mgpcg_solve_refined(
                            precision=_HIGHEST)
             return _zero_dirichlet(lv0, z)
     else:
-        chol = factor_coarsest(levels, _resolve_coarse_solver(settings, levels))
+        chol = (_pchol if precond_state is not None else
+                factor_coarsest(levels, _resolve_coarse_solver(settings, levels)))
 
         def precond32(r):
             s = mg_preconditioner(
@@ -1317,6 +1347,136 @@ def max_feasible_coarsenings(grid: Grid) -> int:
     return n
 
 
+# ---------------------------------------------------------------------------
+# Lagged preconditioner: carry the hierarchy across OC steps
+#
+# The Galerkin hierarchy + coarsest factor cost ~115 ms/step at
+# 256x128x128 but only shape the PRECONDITIONER — under OC's move limit
+# the density drifts slowly, so rebuilding every k steps trades a few CG
+# iterations (usually none) for ~(k-1)/k of the rebuild cost. The state
+# is exposed as a flat tuple of arrays ("leaves") so drivers can thread
+# it through jit/lax.scan without registering LevelState as a pytree.
+# (reference analogue: MultigridComplianceObjective::updateCache is also
+# only re-run when the density changes — fem.py:64-70 caching.)
+# ---------------------------------------------------------------------------
+
+_PRECOND_FIELDS = ("young", "Ke", "Ke_stream", "Minv_rows", "Dinv", "lmax")
+
+
+def precond_leaves(levels: List[LevelState], chol) -> tuple:
+    """Flatten (levels, coarsest factor) into a tuple of arrays, in the
+    canonical field order that :func:`levels_from_leaves` expects."""
+    leaves = []
+    for lv in levels:
+        for f in _PRECOND_FIELDS:
+            v = getattr(lv, f)
+            if v is not None:
+                leaves.append(v)
+    if chol is not None:
+        kind, data = chol
+        leaves.append(data[0] if kind == "chol" else data)
+    return tuple(leaves)
+
+
+def levels_from_leaves(template, leaves):
+    """Reassemble ``(levels, chol)`` from a skeleton template (static
+    fields concrete, density-dependent fields elided) plus the array
+    leaves produced by :func:`precond_leaves`."""
+    t_levels, t_chol = template
+    it = iter(leaves)
+    out: List[LevelState] = []
+    for lv in t_levels:
+        kw = {f: next(it) for f in _PRECOND_FIELDS
+              if getattr(lv, f) is not None}
+        if lv.parent is not None:
+            kw["parent"] = out[-1]
+        out.append(dataclasses.replace(lv, **kw))
+    chol = None
+    if t_chol is not None:
+        kind, data = t_chol
+        chol = (kind, (next(it), data[1])) if kind == "chol" else (kind, next(it))
+    rest = list(it)
+    if rest:
+        raise ValueError(f"{len(rest)} extra precond leaves")
+    return out, chol
+
+
+def _skeletonize(levels: List[LevelState], chol, cfg: MGConfig):
+    """Template capture: keep static fields concrete, replace the
+    density-dependent arrays with ShapeDtypeStructs (drops tracers when
+    called under jax.eval_shape).
+
+    Runs INSIDE the eval_shape trace, where every jnp op — including
+    ``jnp.asarray`` of a numpy constant in build_level_states — yields a
+    tracer. The density-independent mask fields are therefore restored
+    from the concrete ``cfg`` levels (numpy), never taken from ``lv``."""
+    sk: List[LevelState] = []
+    for l, lv in enumerate(levels):
+        kw = {}
+        for f in _PRECOND_FIELDS:
+            v = getattr(lv, f)
+            if v is not None:
+                kw[f] = jax.ShapeDtypeStruct(jnp.shape(v), v.dtype)
+        kw["dirichlet_mask"] = cfg.levels[l].dirichlet_mask
+        kw["color_masks"] = cfg.levels[l].color_masks
+        if lv.parent is not None:
+            kw["parent"] = sk[-1]
+        sk.append(dataclasses.replace(lv, **kw))
+    t_chol = None
+    if chol is not None:
+        kind, data = chol
+        if kind == "chol":
+            c = data[0]
+            t_chol = (kind, (jax.ShapeDtypeStruct(jnp.shape(c), c.dtype),
+                             data[1]))
+        else:
+            t_chol = (kind, jax.ShapeDtypeStruct(jnp.shape(data), data.dtype))
+    return sk, t_chol
+
+
+def _build_precond_levels(cfg: MGConfig, prob: FEMProblem, rho: jnp.ndarray,
+                          settings: MGSolverSettings,
+                          masks: Optional[Sequence[jnp.ndarray]] = None):
+    young = prob.young(rho)
+    if _use_refined(prob, settings):
+        young = young.astype(jnp.float32)
+    levels = build_level_states(
+        cfg, prob, young, smoother=settings.smoother,
+        power_iters=settings.lmax_power_iters,
+        use_pallas=resolve_use_pallas(settings.use_pallas, prob.grid),
+        cached_ke_dtype=settings.cached_ke_dtype, masks=masks)
+    chol = None
+    if settings.precond != "jacobi":
+        chol = factor_coarsest(levels, _resolve_coarse_solver(settings, levels))
+    return levels, chol
+
+
+def build_precond_leaves(cfg: MGConfig, prob: FEMProblem, rho: jnp.ndarray,
+                         settings: MGSolverSettings,
+                         masks: Optional[Sequence[jnp.ndarray]] = None) -> tuple:
+    """Jittable: hierarchy + coarsest factor for ``rho``, flattened."""
+    return precond_leaves(*_build_precond_levels(cfg, prob, rho, settings,
+                                                 masks=masks))
+
+
+def make_precond_template(cfg: MGConfig, prob: FEMProblem,
+                          settings: MGSolverSettings,
+                          masks: Optional[Sequence[jnp.ndarray]] = None):
+    """Capture the static (levels, chol) skeleton without computing
+    anything (jax.eval_shape trace of the hierarchy build)."""
+    ydt = jnp.float32 if _use_refined(prob, settings) else prob.force.dtype
+    captured = []
+
+    def probe(rho):
+        levels, chol = _build_precond_levels(cfg, prob, rho, settings,
+                                             masks=masks)
+        captured.append(_skeletonize(levels, chol, cfg))
+        return precond_leaves(levels, chol)
+
+    jax.eval_shape(probe, jax.ShapeDtypeStruct(prob.grid.dims, ydt))
+    return captured[0]
+
+
 def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):
     """Returns a SolveFn (rho, u0) -> (u, iters) closure for topopt.
 
@@ -1333,13 +1493,33 @@ def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):
     cfg = build_mg_config(prob, nl,
                           ke_cache_limit_bytes=settings.ke_cache_limit_bytes)
 
-    def solve(rho, u0=None, prob=prob, masks=None):
+    _tpl_cache = []
+
+    def precond_template():
+        if not _tpl_cache:
+            _tpl_cache.append(make_precond_template(cfg, prob, settings))
+        return _tpl_cache[0]
+
+    def solve(rho, u0=None, prob=prob, masks=None, precond=None):
         # `prob`/`masks` overrides let a driver pass the problem arrays
         # (force, fine+coarse Dirichlet masks) as jit OPERANDS instead of
         # closure constants — at 4M voxels the inlined force + masks are
         # ~40-65 MB of StableHLO literals per traced module, enough to
         # crash the remote compile service (TODO.md)
-        return mgpcg_solve(cfg, prob, rho, u0, settings, masks=masks)
+        #
+        # `precond`: lagged-preconditioner leaves from solve.build_precond
+        # — skips the per-solve hierarchy rebuild (see mgpcg_solve).
+        pstate = None
+        if precond is not None:
+            pstate = levels_from_leaves(precond_template(), precond)
+        return mgpcg_solve(cfg, prob, rho, u0, settings, masks=masks,
+                           precond_state=pstate)
+
+    def build_precond(rho, prob=prob, masks=None):
+        return build_precond_leaves(cfg, prob, rho, settings, masks=masks)
 
     solve.cfg = cfg
+    solve.settings = settings
+    solve.build_precond = build_precond
+    solve.precond_template = precond_template
     return solve

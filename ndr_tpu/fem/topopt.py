@@ -142,10 +142,17 @@ class TopologyOptimizationProblem:
     def physical_density(self, x: jnp.ndarray) -> jnp.ndarray:
         return apply_filter_chain(x, self.filters)
 
-    def objective(self, x, u0=None):
-        """Returns (compliance, u, cg_iters). compliance = 1/2 f^T u."""
+    def objective(self, x, u0=None, precond=None):
+        """Returns (compliance, u, cg_iters). compliance = 1/2 f^T u.
+
+        ``precond``: optional lagged-preconditioner leaves (see
+        multigrid.build_precond_leaves) forwarded to the solver — only
+        SolveFns from make_mg_solver accept it."""
         rho = self.physical_density(x)
-        u, iters = self.solve(rho, u0)
+        if precond is None:
+            u, iters = self.solve(rho, u0)
+        else:
+            u, iters = self.solve(rho, u0, precond=precond)
         c = compliance_with_adjoint(rho, u, self.prob)
         return c, u, iters
 
@@ -202,6 +209,7 @@ def oc_step(
     state: OCState,
     m: float = 0.2,
     ctol: float = 1e-6,
+    precond=None,
 ):
     """One Optimality-Criteria step (reference: OptimalityCriterion.hh:41-75).
 
@@ -213,7 +221,7 @@ def oc_step(
     """
     x0 = state.x
     # solve + gradients at current design
-    c, u, iters = top.objective(x0, state.u)
+    c, u, iters = top.objective(x0, state.u, precond=precond)
     dJ = top.objective_gradient(x0, u)
     dc = top.constraint_gradient(x0)
 

@@ -387,3 +387,130 @@ def test_newton_schulz_coarse_inverse():
                                np.asarray(us["cholesky"]),
                                atol=2e-5 * float(jnp.max(jnp.abs(us["cholesky"]))))
     assert its["ns"] <= its["cholesky"] + 1, its
+
+
+def test_lagged_precond_solves_current_operator():
+    """A hierarchy built at an EARLIER density must still drive the solve
+    to the solution of the CURRENT operator: the precond only lags, the
+    CG operator is exact (multigrid.mgpcg_solve precond_state)."""
+    cfg, prob, grid = _problem("problems/3d/cantilever_flexion.json",
+                               (16, 8, 8))
+    rng = np.random.default_rng(3)
+    rho0 = jnp.full(grid.dims, 0.4, prob.force.dtype)
+    # one OC-sized density drift (move limit 0.2)
+    rho1 = jnp.clip(
+        rho0 + jnp.asarray(rng.uniform(-0.2, 0.2, grid.dims),
+                           prob.force.dtype), 0.05, 1.0)
+
+    settings = mg.MGSolverSettings(
+        num_levels=2, cg_iter=300, tol=1e-10, smoother="chebyshev",
+        lmax_power_iters=0, mixed_precision=False)
+    solve = mg.make_mg_solver(prob, settings)
+
+    leaves = jax.jit(solve.build_precond)(rho0)
+    u_lag, it_lag = jax.jit(
+        lambda r, p: solve(r, None, precond=p))(rho1, leaves)
+    u_ref, it_ref = solve(rho1, None)
+    np.testing.assert_allclose(
+        np.asarray(u_lag), np.asarray(u_ref),
+        atol=1e-8 * float(jnp.max(jnp.abs(u_ref))))
+    # the extreme drift above (up to 27x SIMP modulus change per voxel)
+    # degrades the stale precond but must never stall CG
+    assert int(it_lag) < settings.cg_iter, (int(it_lag), int(it_ref))
+
+    # at realistic OC per-step drift, staleness is near iteration-neutral
+    rho_s = jnp.clip(
+        rho0 + jnp.asarray(rng.uniform(-0.03, 0.03, grid.dims),
+                           prob.force.dtype), 0.05, 1.0)
+    _, it_s = jax.jit(lambda r, p: solve(r, None, precond=p))(rho_s, leaves)
+    _, it_fs = solve(rho_s, None)
+    # tol=1e-10 magnifies the cost (production runs at 1e-5..1e-6 see
+    # less); a handful of extra iterations is the expected envelope
+    assert int(it_s) <= int(it_fs) + 5, (int(it_s), int(it_fs))
+
+
+def test_lagged_precond_refined_path():
+    """Same invariant through the mixed-precision refinement driver
+    (fp32 problem + float64 true residual)."""
+    cfg, prob, grid = _problem("problems/3d/cantilever_flexion.json",
+                               (16, 8, 8))
+    prob32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, prob)
+    rng = np.random.default_rng(4)
+    rho0 = jnp.full(grid.dims, 0.4, jnp.float32)
+    rho1 = jnp.clip(
+        rho0 + jnp.asarray(rng.uniform(-0.2, 0.2, grid.dims), jnp.float32),
+        0.05, 1.0)
+
+    settings = mg.MGSolverSettings(
+        num_levels=2, cg_iter=300, tol=1e-6, smoother="chebyshev",
+        lmax_power_iters=0, mixed_precision=True)
+    solve = mg.make_mg_solver(prob32, settings)
+
+    leaves = jax.jit(solve.build_precond)(rho0)
+    u_lag, _ = jax.jit(lambda r, p: solve(r, None, precond=p))(rho1, leaves)
+    u_ref, _ = solve(rho1, None)
+    assert u_lag.dtype == u_ref.dtype == jnp.float64
+    # both satisfy ||b - K u|| <= tol ||b|| on the SAME (current) operator
+    np.testing.assert_allclose(
+        np.asarray(u_lag), np.asarray(u_ref),
+        atol=2e-5 * float(jnp.max(jnp.abs(u_ref))))
+
+
+def test_leaves_roundtrip_identical_solve():
+    """levels_from_leaves(template, precond_leaves(levels)) reproduces the
+    fresh solve exactly when built at the same density."""
+    cfg, prob, grid = _problem("problems/3d/cantilever_flexion.json",
+                               (16, 8, 8))
+    rng = np.random.default_rng(5)
+    rho = jnp.asarray(rng.uniform(0.2, 1.0, grid.dims), prob.force.dtype)
+    settings = mg.MGSolverSettings(
+        num_levels=2, cg_iter=100, tol=1e-8, smoother="chebyshev",
+        lmax_power_iters=0, mixed_precision=False)
+    solve = mg.make_mg_solver(prob, settings)
+    leaves = solve.build_precond(rho)
+    u_rt, it_rt = solve(rho, None, precond=leaves)
+    u_fresh, it_fresh = solve(rho, None)
+    np.testing.assert_array_equal(np.asarray(u_rt), np.asarray(u_fresh))
+    assert int(it_rt) == int(it_fresh)
+
+
+def test_oc_chunked_lag_tracks_fresh_trajectory():
+    """OC steps with a preconditioner rebuilt every k steps track the
+    rebuild-every-step trajectory (both solves converge to tol on the
+    exact operator, so OC sees near-identical gradients)."""
+    from ndr_tpu.fem import topopt
+    from ndr_tpu.ops import filters as flt
+
+    cfg, prob, grid = _problem("problems/3d/cantilever_flexion.json",
+                               (16, 8, 8))
+    settings = mg.MGSolverSettings(
+        num_levels=2, cg_iter=200, tol=1e-8, smoother="chebyshev",
+        lmax_power_iters=0, mixed_precision=False)
+    solve = mg.make_mg_solver(prob, settings)
+    top = topopt.TopologyOptimizationProblem(
+        prob=prob,
+        filters=[flt.SmoothingFilter(radius=1),
+                 flt.ProjectionFilter(beta=1.0)],
+        max_volume=cfg.max_volume,
+        solve=solve,
+    )
+    x0 = jnp.full(grid.dims, cfg.max_volume, prob.force.dtype)
+
+    # fresh: rebuild every step (the default path)
+    s = topopt.oc_init(top, x0)
+    cs_fresh = []
+    for _ in range(4):
+        s, metr = topopt.oc_step(top, s)
+        cs_fresh.append(float(metr["compliance"]))
+
+    # lagged: one precond for all 4 steps (k = 4)
+    s = topopt.oc_init(top, x0)
+    leaves = solve.build_precond(top.physical_density(s.x))
+    cs_lag = []
+    for _ in range(4):
+        s, metr = topopt.oc_step(top, s, precond=leaves)
+        cs_lag.append(float(metr["compliance"]))
+
+    np.testing.assert_allclose(cs_lag, cs_fresh, rtol=1e-5)
