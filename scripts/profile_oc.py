@@ -30,6 +30,7 @@ Usage:
 
 import argparse
 import json
+import re
 import sys
 import time
 
@@ -457,9 +458,54 @@ def main():
                         coarse_solver="ns"),
     }
     for name in [v for v in args.variants.split(",") if v]:
-        kw = VARIANTS[name]
+        # "<base>_lagN": base variant + lagged preconditioner rebuilt
+        # every N steps (multigrid.build_precond / oc_step precond=)
+        lag = 0
+        base_name = name
+        m_lag = re.match(r"^(.*)_lag(\d+)$", name)
+        if m_lag and m_lag.group(1) in VARIANTS:
+            base_name, lag = m_lag.group(1), int(m_lag.group(2))
+        kw = VARIANTS[base_name]
         _, prob_v, grid_v, _, top_v = build(args, settings_kw=kw)
-        if args.scan > 0:
+        if args.scan > 0 and lag > 0:
+            # device-side loop with the hierarchy carried across steps;
+            # lax.cond rebuilds it on every lag-th step. Same scan-timed
+            # methodology as below.
+            K = args.scan
+            solve_v = top_v.solve
+
+            @jax.jit
+            def run_k_lag(s, leaves):
+                def body(carry, i):
+                    s, lv = carry
+                    lv = jax.lax.cond(
+                        i % lag == 0,
+                        lambda _: solve_v.build_precond(
+                            top_v.physical_density(s.x)),
+                        lambda l: l, lv)
+                    s, m = topopt.oc_step(top_v, s, precond=lv)
+                    return (s, lv), (m["compliance"], m["cg_iters"])
+                return jax.lax.scan(body, (s, leaves), jnp.arange(K))
+
+            leaves0 = jax.jit(solve_v.build_precond)(
+                jax.jit(top_v.physical_density)(state.x))
+            (state_k, leaves_k), (cs, its) = run_k_lag(state, leaves0)
+            _readback(cs)
+            t0 = time.perf_counter()
+            (state_k, leaves_k), (cs, its) = run_k_lag(state_k, leaves_k)
+            _readback(cs)
+            sec = (time.perf_counter() - t0) / K
+            its_np = np.asarray(its)
+            results[f"variant_{name}"] = {
+                "s": round(sec, 6), "scan": K, "lag": lag,
+                "cg_iters": int(its_np[-1]),
+                "cg_iters_max": int(its_np.max()),
+                "compliance": round(2 * float(np.asarray(cs)[-1]), 4),
+            }
+            print(f"{'variant_' + name:24s} {sec * 1e3:10.2f} ms/step "
+                  f"(scan {K}, cg last {int(its_np[-1])} "
+                  f"max {int(its_np.max())})", flush=True)
+        elif args.scan > 0:
             # device-side loop: one dispatch runs `scan` full OC steps,
             # so per-dispatch tunnel latency (~100 ms at 4M voxels, and
             # variable) amortizes away instead of polluting the per-step
