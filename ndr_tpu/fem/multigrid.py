@@ -1378,16 +1378,23 @@ def precond_leaves(levels: List[LevelState], chol) -> tuple:
     return tuple(leaves)
 
 
-def levels_from_leaves(template, leaves):
+def levels_from_leaves(template, leaves, masks=None):
     """Reassemble ``(levels, chol)`` from a skeleton template (static
     fields concrete, density-dependent fields elided) plus the array
-    leaves produced by :func:`precond_leaves`."""
+    leaves produced by :func:`precond_leaves`.
+
+    ``masks``: optional per-level Dirichlet masks to substitute for the
+    template's inlined numpy constants — pass the driver's jit-operand
+    masks here so the solve-with-precond module does not re-inline
+    ~15 MB of bool literals at 4M voxels."""
     t_levels, t_chol = template
     it = iter(leaves)
     out: List[LevelState] = []
-    for lv in t_levels:
+    for l, lv in enumerate(t_levels):
         kw = {f: next(it) for f in _PRECOND_FIELDS
               if getattr(lv, f) is not None}
+        if masks is not None:
+            kw["dirichlet_mask"] = masks[l]
         if lv.parent is not None:
             kw["parent"] = out[-1]
         out.append(dataclasses.replace(lv, **kw))
@@ -1511,7 +1518,8 @@ def make_mg_solver(prob: FEMProblem, settings: MGSolverSettings):
         # — skips the per-solve hierarchy rebuild (see mgpcg_solve).
         pstate = None
         if precond is not None:
-            pstate = levels_from_leaves(precond_template(), precond)
+            pstate = levels_from_leaves(precond_template(), precond,
+                                        masks=masks)
         return mgpcg_solve(cfg, prob, rho, u0, settings, masks=masks,
                            precond_state=pstate)
 

@@ -58,6 +58,7 @@ def ground_truth_topopt(
     snapshot_cb=None,
     dtype=None,
     shards: int = 0,
+    precond_lag: int = 0,
 ) -> ClassicResult:
     """Run classic SIMP TO with the OC optimizer.
 
@@ -159,17 +160,44 @@ def ground_truth_topopt(
             masks_op = tuple(jnp.asarray(lev.dirichlet_mask)
                              for lev in solve.cfg.levels)
 
-            def _step_fn(p, masks, s):
+            def _step_fn(p, masks, s, leaves=None):
                 t = dataclasses.replace(
                     top, prob=p,
-                    solve=lambda rho, u0=None: solve(
-                        rho, u0, prob=p, masks=masks))
-                return topopt.oc_step(t, s, m=oc_move, ctol=oc_ctol)
+                    solve=lambda rho, u0=None, precond=None: solve(
+                        rho, u0, prob=p, masks=masks, precond=precond))
+                return topopt.oc_step(t, s, m=oc_move, ctol=oc_ctol,
+                                      precond=leaves)
 
             _step = jax.jit(_step_fn, donate_argnums=2)
 
-            def step(s):
-                return _step(prob, masks_op, s)
+            use_lag = precond_lag > 1 and hasattr(solve, "build_precond")
+            if use_lag:
+                # Lagged preconditioner (multigrid.build_precond): the
+                # Galerkin hierarchy + coarsest factor only shape the
+                # preconditioner, so rebuild them every `precond_lag`
+                # steps — or early, when a cg_iters jump says the stale
+                # hierarchy stopped paying for itself. The CG operator
+                # always uses the current density (see mgpcg_solve).
+                _build = jax.jit(
+                    lambda p, masks, x: solve.build_precond(
+                        top.physical_density(x), prob=p, masks=masks))
+                lag_state = {"leaves": None, "age": 0, "it_ref": None}
+
+                def step(s, _ls=lag_state):
+                    if _ls["leaves"] is None or _ls["age"] >= precond_lag:
+                        _ls["leaves"] = _build(prob, masks_op, s.x)
+                        _ls["age"], _ls["it_ref"] = 0, None
+                    s, m = _step(prob, masks_op, s, _ls["leaves"])
+                    _ls["age"] += 1
+                    it = int(m["cg_iters"])
+                    if _ls["it_ref"] is None:
+                        _ls["it_ref"] = it
+                    elif it > _ls["it_ref"] + 4:
+                        _ls["age"] = precond_lag  # force rebuild next step
+                    return s, m
+            else:
+                def step(s):
+                    return _step(prob, masks_op, s)
         else:
             step = jax.jit(
                 lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol),

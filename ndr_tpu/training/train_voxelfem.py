@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--shards", default=0, type=int,
                    help="slab-decompose the grid over this many devices "
                         "(sharded MGPCG via shard_map; 0 = single device)")
+    p.add_argument("--precond-lag", default=0, type=int,
+                   help="rebuild the MG hierarchy every K OC steps instead "
+                        "of every step (preconditioner-only staleness; the "
+                        "CG operator stays exact). 0/1 = rebuild each step")
     args = p.parse_args(argv)
 
     import jax
@@ -93,7 +97,7 @@ def main(argv=None):
         log_every=args.log_every, smoother=args.smoother,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         cg_iter=args.cg_iter, optimizer=args.optim, snapshot_cb=snapshot_cb,
-        shards=args.shards,
+        shards=args.shards, precond_lag=args.precond_lag,
     )
     np.save(os.path.join(args.out, f"{title}_densities.npy"), result.densities)
     export.write_vtr(
