@@ -266,8 +266,209 @@ def apply_k_pallas(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
 
 
 # ---------------------------------------------------------------------------
-# Double-single (two-float) stiffness apply: float64-accurate residuals
-# on a chip with no native f64.
+# Flattened single-copy stiffness apply (v2 of the fine kernel).
+#
+# The variant-sliced kernel above reaches correctness by materializing
+# 2^(ndim-1) trailing-offset COPIES of every displacement component
+# (each read twice through the slab/next-slab specs) and emitting
+# 2^(ndim-1) x ndim partial outputs that a multi-pass XLA epilogue
+# stitches — ~8x the fields' own HBM traffic at 4M voxels (measured
+# 5.7 ms vs ~0.5 ms speed-of-light). This kernel keeps ONE copy of each
+# component with the trailing node dims flattened to a single
+# lane-padded axis Rn (129x129 -> 16641 -> 16768: +0.8% pad, vs ~2x for
+# lane-padding each 129 plane):
+#
+#   * stencil neighbor access is a LANE ROLL by the flattened offset
+#     (z-neighbor: 1, y-neighbor: nz_n, ...) — circular wrap is safe
+#     because every wrapped-in lane multiplies a zero modulus (young is
+#     laid out on the node plane with zeros at non-element lanes);
+#   * scatter to the 2^ndim output corners is the inverse roll of the
+#     per-element force, accumulated in registers and written ONCE per
+#     slab (T rows);
+#   * the x-boundary plane each slab shares with its successor rides a
+#     VMEM carry scratch across the sequential TPU grid — no partial
+#     outputs, no stitch epilogue.
+#
+# HBM per apply = u (2x: halo'd specs) + young + f written once
+# ~= 5 field passes vs the variant kernel's ~18.
+# (reference hot loop: TensorProductSimulator::applyK,
+# TensorProductSimulator.hh:905-952)
+# ---------------------------------------------------------------------------
+
+
+def _flat_strides(node_dims_rest) -> list:
+    """Flattened-lane stride of one step along each trailing node dim."""
+    strides = []
+    s = 1
+    for n in reversed(node_dims_rest):
+        strides.append(s)
+        s *= n
+    return list(reversed(strides))
+
+
+def _flat_kernel_body(ndim, npe, T, K0r, Rn, troffs, interpret, refs):
+    """One x-slab over the flattened node plane.
+
+    refs: ndim slab u blocks, ndim next-slab u blocks, young block,
+    ndim output blocks, carry scratch (ndim, Rn)."""
+    uA = refs[:ndim]
+    uB = refs[ndim: 2 * ndim]
+    e_ref = refs[2 * ndim]
+    out_refs = refs[2 * ndim + 1: 3 * ndim + 1]
+    carry_ref = refs[3 * ndim + 1]
+
+    def roll(x, shift):
+        if shift % Rn == 0:
+            return x
+        if interpret:
+            return jnp.roll(x, shift, axis=1)
+        return pltpu.roll(x, shift % Rn, axis=1)
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    E = e_ref[...]                                  # (T, Rn)
+    u_slab = [
+        jnp.concatenate([uA[d][...], uB[d][...][:1]], axis=0)
+        for d in range(ndim)
+    ]                                               # (T+1, Rn) each
+
+    # local-node offset tuples and their (trailing-offset tuple -> flat
+    # lane shift) map; troffs is [(trailing_tuple, lane_shift), ...]
+    offs = list(itertools.product((0, 1), repeat=ndim))
+
+    # gathered input views: roll(u, -off) brings node lane r+off to
+    # element lane r; keyed by (trailing-offset tuple, component)
+    gath = {}
+    for tt, sh in troffs:
+        for d in range(ndim):
+            gath[tt, d] = roll(u_slab[d], -sh)
+
+    zrow = jnp.zeros((1, Rn), E.dtype)
+    for c in range(ndim):
+        acc_c = None                                # (T+1, Rn)
+        for tt, sh in troffs:
+            # both output local nodes sharing this trailing offset
+            cd = None                               # pre-roll (T+1, Rn)
+            for ax in (0, 1):
+                a = offs.index((ax,) + tt)
+                X = None
+                for b in range(npe):
+                    ob = offs[b]
+                    for d in range(ndim):
+                        k = float(K0r[a, c, b, d])
+                        if k == 0.0:
+                            continue
+                        term = k * gath[ob[1:], d][ob[0]: ob[0] + T]
+                        X = term if X is None else X + term
+                contrib = E * X                     # (T, Rn)
+                placed = (jnp.concatenate([contrib, zrow], axis=0)
+                          if ax == 0 else
+                          jnp.concatenate([zrow, contrib], axis=0))
+                cd = placed if cd is None else cd + placed
+            cd = roll(cd, sh)                       # scatter offset
+            acc_c = cd if acc_c is None else acc_c + cd
+        out_refs[c][...] = jnp.concatenate(
+            [acc_c[:1] + carry_ref[c][None], acc_c[1:T]], axis=0)
+        carry_ref[c, :] = acc_c[T]
+
+
+def _pick_slab_flat(Rn: int, requested: int) -> int:
+    """Slab thickness for the flat kernel: the live set is ~40 slab
+    planes (blocks + rolled views + accumulators), all (T+1, Rn) f32."""
+    budget = 80e6
+    for T in (requested, 16, 8):
+        if 40 * (T + 1) * Rn * 4 <= budget:
+            return max(T, 8)
+    return 8
+
+
+def apply_k_pallas_flat(u: jnp.ndarray, young: jnp.ndarray, K0, grid: Grid,
+                        slab: int = 8, interpret: bool = False
+                        ) -> jnp.ndarray:
+    """Fused matrix-free stiffness apply, flattened single-copy layout.
+
+    Drop-in equivalent of :func:`ndr_tpu.fem.operators.apply_k` /
+    :func:`apply_k_pallas` for degree-1 grids (fp32). See the design
+    comment block above.
+    """
+    if grid.degree != 1:
+        raise NotImplementedError("pallas applyK supports degree-1 elements")
+    ndim = grid.ndim
+    npe = grid.nodes_per_elem
+    dt = u.dtype
+    K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
+
+    node_dims = grid.nodes_per_dim
+    nx = grid.dims[0]
+    rest_nodes = node_dims[1:]
+    Rn_real = int(np.prod(rest_nodes))
+    Rn = -(-Rn_real // 128) * 128
+    strides = _flat_strides(rest_nodes)
+    troffs = [
+        (tt, int(sum(o * s for o, s in zip(tt, strides))))
+        for tt in itertools.product((0, 1), repeat=ndim - 1)
+    ]
+
+    T = _pick_slab_flat(Rn, slab)
+    nslabs = -(-(nx + 1) // T)
+    rows_out = nslabs * T
+    rows_in = (nslabs + 1) * T
+
+    # flattened, lane-padded per-component node fields
+    u_flat = []
+    for d in range(ndim):
+        c = u[..., d].reshape(node_dims[0], Rn_real)
+        c = jnp.pad(c, [(0, rows_in - node_dims[0]), (0, Rn - Rn_real)])
+        u_flat.append(c)
+    # young on the node plane: zeros at non-element lanes/rows
+    e_np = jnp.pad(
+        young,
+        [(0, rows_out - nx)] + [
+            (0, nn - ne) for nn, ne in zip(rest_nodes, grid.dims[1:])
+        ],
+    ).reshape(rows_out, Rn_real)
+    e_np = jnp.pad(e_np, [(0, 0), (0, Rn - Rn_real)]).astype(dt)
+
+    kernel = functools.partial(
+        _flat_kernel_body, ndim, npe, T, np.asarray(K0r), Rn, troffs,
+        interpret
+    )
+
+    def wrapped(*refs):
+        kernel(refs)
+
+    def _imap(lead_shift):
+        def imap(i):
+            return (i + lead_shift, jnp.int32(0))
+        return imap
+
+    spec = pl.BlockSpec((T, Rn), _imap(0))
+    next_spec = pl.BlockSpec((T, Rn), _imap(1))
+    out_shape = [
+        jax.ShapeDtypeStruct((rows_out, Rn), dt) for _ in range(ndim)
+    ]
+
+    outs = pl.pallas_call(
+        wrapped,
+        out_shape=out_shape,
+        grid=(nslabs,),
+        in_specs=[spec] * ndim + [next_spec] * ndim + [spec],
+        out_specs=[spec] * ndim,
+        scratch_shapes=[pltpu.VMEM((ndim, Rn), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*u_flat, *u_flat, e_np)
+
+    f = jnp.stack(
+        [o[: node_dims[0], :Rn_real] for o in outs], axis=-1
+    )
+    return f.reshape(node_dims + (ndim,))
 #
 # The mixed-precision refinement loop (multigrid._mgpcg_solve_refined)
 # needs ONE true residual r = b - K u per solve, accurate well below the

@@ -67,6 +67,10 @@ def main():
         lambda u, y: pk.apply_k_pallas(u, y, K0, grid)), u, young)
     err = float(jnp.abs(f_pl - f_xla).max() / jnp.abs(f_xla).max())
     print(f"pallas vs XLA rel-max err: {err:.2e}")
+    f_fl = bench("pallas flat    ", jax.jit(
+        lambda u, y: pk.apply_k_pallas_flat(u, y, K0, grid)), u, young)
+    err = float(jnp.abs(f_fl - f_xla).max() / jnp.abs(f_xla).max())
+    print(f"flat vs XLA rel-max err: {err:.2e}")
 
     if args.skip_df:
         return

@@ -35,6 +35,28 @@ def test_pallas_apply_k_matches_xla(prob_path, dims, slab):
     assert err < 1e-5, err
 
 
+@pytest.mark.parametrize("prob_path,dims", [
+    ("problems/2d/mbb_beam.json", (12, 6)),
+    ("problems/2d/mbb_beam.json", (10, 7)),
+    ("problems/3d/cantilever_flexion.json", (8, 4, 4)),
+    ("problems/3d/cantilever_flexion.json", (6, 4, 2)),
+])
+def test_pallas_flat_apply_matches_xla(prob_path, dims):
+    """Flattened single-copy kernel (roll-based stencil + carry scratch)
+    vs the XLA reference path."""
+    cfg = load_problem(prob_path)
+    prob, grid = problem_from_config(cfg, dims=dims, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    young = prob.young(jnp.asarray(rng.uniform(0.1, 1.0, grid.dims), jnp.float32))
+    u = jnp.asarray(
+        rng.standard_normal(grid.nodes_per_dim + (grid.ndim,)), jnp.float32
+    )
+    f_ref = ops.apply_k(u, young, prob.K0, grid)
+    f_pl = pk.apply_k_pallas_flat(u, young, prob.K0, grid, interpret=True)
+    err = float(jnp.abs(f_pl - f_ref).max() / jnp.abs(f_ref).max())
+    assert err < 1e-5, err
+
+
 @pytest.mark.parametrize("prob_path,dims,slab", [
     ("problems/2d/mbb_beam.json", (12, 6), 4),
     ("problems/3d/cantilever_flexion.json", (8, 4, 4), 4),
