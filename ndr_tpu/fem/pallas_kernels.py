@@ -745,6 +745,195 @@ def apply_k_pallas_df(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
     return jnp.stack(comps, axis=-1)
 
 
+def _flat_df_kernel_body(ndim, npe, T, K0r, Rn, troffs, interpret, refs):
+    """Two-float x-slab over the flattened node plane (flat-layout twin
+    of :func:`_df_kernel_body`; same error-free-transform rules, see the
+    compiler-safety note above)."""
+    uh_refs = refs[:ndim]
+    ul_refs = refs[ndim: 2 * ndim]
+    uhB = refs[2 * ndim: 3 * ndim]
+    ulB = refs[3 * ndim: 4 * ndim]
+    yh_ref, yl_ref = refs[4 * ndim], refs[4 * ndim + 1]
+    out_refs = refs[4 * ndim + 2: 6 * ndim + 2]   # hi0..hiN, lo0..loN
+    carry_ref = refs[6 * ndim + 2]                # (2*ndim, Rn)
+
+    def roll(x, shift):
+        if shift % Rn == 0:
+            return x
+        if interpret:
+            return jnp.roll(x, shift, axis=1)
+        return pltpu.roll(x, shift % Rn, axis=1)
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    Eh, El = yh_ref[...], yl_ref[...]
+    Eh1, Eh2 = _split12(Eh)
+    u_hi = [
+        jnp.concatenate([uh_refs[d][...], uhB[d][...][:1]], axis=0)
+        for d in range(ndim)
+    ]
+    u_lo = [
+        jnp.concatenate([ul_refs[d][...], ulB[d][...][:1]], axis=0)
+        for d in range(ndim)
+    ]
+
+    offs = list(itertools.product((0, 1), repeat=ndim))
+    gat_h, gat_l = {}, {}
+    for tt, sh in troffs:
+        for d in range(ndim):
+            gat_h[tt, d] = roll(u_hi[d], -sh)
+            gat_l[tt, d] = roll(u_lo[d], -sh)
+
+    zrow = jnp.zeros((1, Rn), jnp.float32)
+    for c in range(ndim):
+        acc_h = None                                # (T+1, Rn)
+        acc_l = None
+        for tt, sh in troffs:
+            for ax in (0, 1):
+                a = offs.index((ax,) + tt)
+                S, L = None, None
+                for b in range(npe):
+                    ob = offs[b]
+                    for d in range(ndim):
+                        k64 = float(K0r[a, c, b, d])
+                        if k64 == 0.0:
+                            continue
+                        kh = np.float32(k64)
+                        kl = np.float32(k64 - float(kh))
+                        k1, k2 = _split12_const(kh)
+                        v = gat_h[ob[1:], d][ob[0]: ob[0] + T]
+                        vl = gat_l[ob[1:], d][ob[0]: ob[0] + T]
+                        v1, v2 = _split12(v)
+                        h11 = k1 * v1
+                        small = (k1 * v2 + k2 * v1) + k2 * v2 + kh * vl
+                        if kl != 0.0:
+                            small = small + kl * v
+                        if S is None:
+                            S, L = h11, small
+                        else:
+                            S, err = _two_sum(S, h11)
+                            L = L + (err + small)
+                S1, S2 = _split12(S)
+                P = Eh1 * S1                        # exact product
+                Flo = (Eh1 * S2 + Eh2 * S1) + Eh2 * S2 + Eh * L + El * S
+                # place at rows [ax:ax+T], scatter-roll by sh, then
+                # TwoSum-accumulate (roll/concat move values bit-exactly)
+                Ph = roll(jnp.concatenate(
+                    [P, zrow] if ax == 0 else [zrow, P], axis=0), sh)
+                Pl = roll(jnp.concatenate(
+                    [Flo, zrow] if ax == 0 else [zrow, Flo], axis=0), sh)
+                if acc_h is None:
+                    acc_h, acc_l = Ph, Pl
+                else:
+                    acc_h, err = _two_sum(acc_h, Ph)
+                    acc_l = acc_l + (err + Pl)
+        # stitch the x-carry into row 0 with one more TwoSum
+        s0, e0 = _two_sum(acc_h[:1], carry_ref[2 * c][None])
+        out_refs[c][...] = jnp.concatenate([s0, acc_h[1:T]], axis=0)
+        out_refs[ndim + c][...] = jnp.concatenate(
+            [acc_l[:1] + carry_ref[2 * c + 1][None] + e0, acc_l[1:T]],
+            axis=0)
+        carry_ref[2 * c, :] = acc_h[T]
+        carry_ref[2 * c + 1, :] = acc_l[T]
+
+
+def apply_k_pallas_df_flat(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
+                           slab: int = 8, interpret: bool = False):
+    """Two-float fused stiffness apply on the flattened single-copy
+    layout: returns the float64 force field (hi+lo combined in the tiny
+    epilogue). Accuracy floor matches :func:`apply_k_pallas_df` (~2^-36
+    of the local force magnitude)."""
+    if grid.degree != 1:
+        raise NotImplementedError("pallas applyK supports degree-1 elements")
+    ndim = grid.ndim
+    npe = grid.nodes_per_elem
+    K0r = np.asarray(K0, np.float64).reshape(npe, ndim, npe, ndim)
+    f32 = jnp.float32
+
+    node_dims = grid.nodes_per_dim
+    nx = grid.dims[0]
+    rest_nodes = node_dims[1:]
+    Rn_real = int(np.prod(rest_nodes))
+    Rn = -(-Rn_real // 128) * 128
+    strides = _flat_strides(rest_nodes)
+    troffs = [
+        (tt, int(sum(o * s for o, s in zip(tt, strides))))
+        for tt in itertools.product((0, 1), repeat=ndim - 1)
+    ]
+
+    T = _pick_slab_flat(Rn, slab)
+    nslabs = -(-(nx + 1) // T)
+    rows_out = nslabs * T
+    rows_in = (nslabs + 1) * T
+
+    def flat_nodes(arr):
+        out = []
+        for d in range(ndim):
+            c = arr[..., d].astype(f32).reshape(node_dims[0], Rn_real)
+            c = jnp.pad(c, [(0, rows_in - node_dims[0]), (0, Rn - Rn_real)])
+            out.append(c)
+        return out
+
+    uh_flat = flat_nodes(u_hi)
+    ul_flat = flat_nodes(u_lo)
+
+    def flat_young(y):
+        e = jnp.pad(
+            y.astype(f32),
+            [(0, rows_out - nx)] + [
+                (0, nn - ne) for nn, ne in zip(rest_nodes, grid.dims[1:])
+            ],
+        ).reshape(rows_out, Rn_real)
+        return jnp.pad(e, [(0, 0), (0, Rn - Rn_real)])
+
+    yh = flat_young(young_hi)
+    yl = flat_young(young_lo)
+
+    kernel = functools.partial(
+        _flat_df_kernel_body, ndim, npe, T, K0r, Rn, troffs, interpret
+    )
+
+    def wrapped(*refs):
+        kernel(refs)
+
+    def _imap(lead_shift):
+        def imap(i):
+            return (i + lead_shift, jnp.int32(0))
+        return imap
+
+    spec = pl.BlockSpec((T, Rn), _imap(0))
+    next_spec = pl.BlockSpec((T, Rn), _imap(1))
+    out_shape = [
+        jax.ShapeDtypeStruct((rows_out, Rn), f32) for _ in range(2 * ndim)
+    ]
+
+    outs = pl.pallas_call(
+        wrapped,
+        out_shape=out_shape,
+        grid=(nslabs,),
+        in_specs=[spec] * (2 * ndim) + [next_spec] * (2 * ndim)
+        + [spec, spec],
+        out_specs=[spec] * (2 * ndim),
+        scratch_shapes=[pltpu.VMEM((2 * ndim, Rn), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*uh_flat, *ul_flat, *uh_flat, *ul_flat, yh, yl)
+
+    f64 = jnp.float64
+    comps = [
+        (outs[c][: node_dims[0], :Rn_real].astype(f64)
+         + outs[ndim + c][: node_dims[0], :Rn_real].astype(f64))
+        for c in range(ndim)
+    ]
+    return jnp.stack(comps, axis=-1).reshape(node_dims + (ndim,))
+
+
 # ---------------------------------------------------------------------------
 # Cached-Ke stiffness apply: Galerkin-coarsened multigrid levels.
 #

@@ -98,6 +98,38 @@ def test_pallas_df_apply_matches_float64(prob_path, dims, slab):
     assert err < 2e-10, err
 
 
+@pytest.mark.parametrize("prob_path,dims", [
+    ("problems/2d/mbb_beam.json", (12, 6)),
+    ("problems/3d/cantilever_flexion.json", (8, 4, 4)),
+    ("problems/3d/cantilever_flexion.json", (6, 4, 2)),
+])
+def test_pallas_flat_df_apply_matches_float64(prob_path, dims):
+    """Flat-layout two-float kernel vs the float64 XLA oracle (same
+    accuracy contract as apply_k_pallas_df)."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64")
+    cfg = load_problem(prob_path)
+    prob, grid = problem_from_config(cfg, dims=dims, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    rho = jnp.asarray(rng.uniform(1e-4, 1.0, grid.dims), jnp.float64)
+    young64 = prob.young(rho)
+    u = jnp.asarray(
+        1e4 * rng.standard_normal(grid.nodes_per_dim + (grid.ndim,)),
+        jnp.float64,
+    )
+    K0_64 = jnp.asarray(np.asarray(prob.K0), jnp.float64)
+    f_ref = ops.apply_k(u, young64, K0_64, grid)
+    f32 = jnp.float32
+    u_hi = u.astype(f32)
+    u_lo = (u - u_hi.astype(jnp.float64)).astype(f32)
+    y_hi = young64.astype(f32)
+    y_lo = (young64 - y_hi.astype(jnp.float64)).astype(f32)
+    f_df = pk.apply_k_pallas_df_flat(
+        u_hi, u_lo, y_hi, y_lo, np.asarray(prob.K0), grid, interpret=True)
+    err = float(jnp.abs(f_df - f_ref).max() / jnp.abs(f_ref).max())
+    assert err < 2e-10, err
+
+
 @pytest.mark.parametrize("prob_path,dims,slab,ke_dtype", [
     ("problems/2d/mbb_beam.json", (12, 6), 4, jnp.float32),
     ("problems/3d/cantilever_flexion.json", (8, 4, 4), 4, jnp.float32),
