@@ -135,13 +135,63 @@ def sync_halo_displacements(u_local: jnp.ndarray) -> jnp.ndarray:
     return u_local.at[0].set(first)
 
 
-def make_sharded_apply_k(sg: ShardedGrid, K0: np.ndarray):
-    """Per-shard stiffness apply: local matrix-free apply + halo sum."""
+def halo_overlap_apply(u_local, p_first, p_last, apply_full, apply_strip):
+    """Stiffness apply with halo exchange OVERLAPPED with compute.
+
+    :func:`halo_sum_forces` exchanges boundary *forces*, which depend on
+    the whole local apply — the ppermute cannot start until the compute
+    finishes, and the result waits on the wire. Here the exchange ships
+    apply *inputs* instead (one u node plane + one operator element
+    plane each way), which are ready at entry: XLA's latency-hiding
+    scheduler can run the ICI transfer concurrently with the full local
+    apply. Each shard then recomputes its two boundary element strips
+    locally (one element plane each, ~2/L_x overhead) — the same
+    contributions the neighbor would have shipped.
+
+    ``p_first`` / ``p_last``: the operator's first/last element plane
+    (young or cached Ke), shape ``(1, rest...)``. ``apply_strip(u2, p)``
+    applies the operator on a 1-element-plane strip (u2: 2 node planes).
+    Returns forces with both duplicated boundary planes complete, equal
+    to ``halo_sum_forces(apply_full(u_local))``.
+    """
+    idx = jax.lax.axis_index(AXIS)
+    n = jax.lax.axis_size(AXIS)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    # pre-exchange (ready at entry; overlaps with apply_full below)
+    u_from_left = jax.lax.ppermute(u_local[-2], AXIS, fwd)
+    p_from_left = jax.lax.ppermute(p_last, AXIS, fwd)
+    u_from_right = jax.lax.ppermute(u_local[1], AXIS, bwd)
+    p_from_right = jax.lax.ppermute(p_first, AXIS, bwd)
+
+    f = apply_full(u_local)
+
+    s0 = apply_strip(
+        jnp.stack([u_from_left, u_local[0]], axis=0), p_from_left)
+    s1 = apply_strip(
+        jnp.stack([u_local[-1], u_from_right], axis=0), p_from_right)
+    f = f.at[0].add(jnp.where(idx > 0, s0[1], jnp.zeros_like(s0[1])))
+    f = f.at[-1].add(
+        jnp.where(idx < n - 1, s1[0], jnp.zeros_like(s1[0])))
+    return f
+
+
+def make_sharded_apply_k(sg: ShardedGrid, K0: np.ndarray, overlap=True):
+    """Per-shard stiffness apply: local matrix-free apply + halo
+    completion (overlapped input pre-exchange by default)."""
     local_grid = sg.local_grid
+    strip_grid = local_grid.with_dims((1,) + local_grid.dims[1:])
 
     def apply_k_shard(u_local, young_local):
-        f = ops.apply_k(u_local, young_local, K0, local_grid)
-        return halo_sum_forces(f)
+        if not overlap:
+            f = ops.apply_k(u_local, young_local, K0, local_grid)
+            return halo_sum_forces(f)
+        K0t = jnp.asarray(K0, u_local.dtype)
+        return halo_overlap_apply(
+            u_local, young_local[:1], young_local[-1:],
+            lambda u: ops.apply_k(u, young_local, K0t, local_grid),
+            lambda u2, p: ops.apply_k(u2, p, K0t, strip_grid),
+        )
 
     return apply_k_shard
 
@@ -372,16 +422,25 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
             if l == 0:
                 Ke = None
                 blocks = ops.node_diag_blocks(young, K0, lg)
+                sg0 = lg.with_dims((1,) + lg.dims[1:])
 
                 if use_pallas:
-                    def apply_l(u, young=young, lg=lg):
+                    def apply_l(u, young=young, lg=lg, sg0=sg0):
                         from ndr_tpu.fem import pallas_kernels as pk
-                        return halo_sum_forces(
-                            pk.apply_k_pallas(u, young, K0, lg))
+                        return halo_overlap_apply(
+                            u, young[:1], young[-1:],
+                            lambda v: pk.apply_k_pallas(v, young, K0, lg),
+                            lambda u2, p: ops.apply_k(
+                                u2, p, jnp.asarray(K0, u2.dtype), sg0),
+                        )
                 else:
-                    def apply_l(u, young=young, lg=lg):
-                        return halo_sum_forces(
-                            ops.apply_k(u, young, jnp.asarray(K0, u.dtype), lg))
+                    def apply_l(u, young=young, lg=lg, sg0=sg0):
+                        K0t = jnp.asarray(K0, u.dtype)
+                        return halo_overlap_apply(
+                            u, young[:1], young[-1:],
+                            lambda v: ops.apply_k(v, young, K0t, lg),
+                            lambda u2, p: ops.apply_k(u2, p, K0t, sg0),
+                        )
             else:
                 C = jnp.asarray(c_stacks[l], young.dtype)
                 pooled = mg.pooled_young(young, l)
@@ -391,7 +450,12 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                 blocks = ops.node_diag_blocks_cached(Ke, lg)
 
                 def apply_l(u, Ke=Ke, lg=lg):
-                    return halo_sum_forces(ops.apply_k_cached(u, Ke, lg))
+                    sgl = lg.with_dims((1,) + lg.dims[1:])
+                    return halo_overlap_apply(
+                        u, Ke[:1], Ke[-1:],
+                        lambda v: ops.apply_k_cached(v, Ke, lg),
+                        lambda u2, p: ops.apply_k_cached(u2, p, sgl),
+                    )
 
             blocks = halo_sum_forces(blocks)
             Dinv = ops.invert_blocks(blocks)
@@ -554,22 +618,31 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
             rho_l.astype(f64), prob.E0, prob.Emin, prob.gamma)
         b64 = zero_d64(b_l.astype(f64))
 
+        K0_64 = jnp.asarray(K0, f64)
+        sg0 = lg0.with_dims((1,) + lg0.dims[1:])
         if use_pallas:
             from ndr_tpu.fem import pallas_kernels as pk
             y_hi = young64.astype(f32)
             y_lo = (young64 - y_hi.astype(f64)).astype(f32)
 
             def residual64(u):
-                u_hi = u.astype(f32)
-                u_lo = (u - u_hi.astype(f64)).astype(f32)
-                ku = pk.apply_k_pallas_df(u_hi, u_lo, y_hi, y_lo, K0, lg0)
-                return zero_d64(b64 - halo_sum_forces(ku))
+                ku = halo_overlap_apply(
+                    u, young64[:1], young64[-1:],
+                    lambda v: pk.apply_k_pallas_df(
+                        v.astype(f32),
+                        (v - v.astype(f32).astype(f64)).astype(f32),
+                        y_hi, y_lo, K0, lg0),
+                    lambda u2, p: ops.apply_k(u2, p, K0_64, sg0),
+                )
+                return zero_d64(b64 - ku)
         else:
-            K0_64 = jnp.asarray(K0, f64)
-
             def residual64(u):
-                ku = ops.apply_k(u, young64, K0_64, lg0)
-                return zero_d64(b64 - halo_sum_forces(ku))
+                ku = halo_overlap_apply(
+                    u, young64[:1], young64[-1:],
+                    lambda v: ops.apply_k(v, young64, K0_64, lg0),
+                    lambda u2, p: ops.apply_k(u2, p, K0_64, sg0),
+                )
+                return zero_d64(b64 - ku)
 
         b_norm = jnp.sqrt(psum_vdot(b64, b64))
         u = zero_d64(u0_l.astype(f64))

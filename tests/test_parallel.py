@@ -98,6 +98,69 @@ def test_sharded_apply_k_matches_unsharded():
     )
 
 
+def test_halo_overlap_apply_matches_force_exchange():
+    """Input-pre-exchange apply (halo_overlap_apply: ppermute overlaps
+    compute) == post-hoc force-exchange apply (halo_sum_forces), for both
+    the matrix-free fine operator and a cached-Ke Galerkin operator."""
+    _run_in_multidevice_subprocess(
+        """
+        n = 4
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(16, 8, 4),
+                                         dtype=jnp.float32)
+        sg = pmesh.ShardedGrid(global_grid=grid, num_shards=n)
+        mesh = pmesh.make_mesh(n)
+        lg = sg.local_grid
+        sg0 = lg.with_dims((1,) + lg.dims[1:])
+        rng = np.random.default_rng(2)
+        u = jnp.asarray(rng.standard_normal(grid.nodes_per_dim + (3,)),
+                        jnp.float32)
+        rho = jnp.asarray(rng.uniform(0.05, 1.0, grid.dims), jnp.float32)
+        young = prob.young(rho)
+        K0 = jnp.asarray(prob.K0, jnp.float32)
+
+        # fine matrix-free operator
+        def both_fine(u_l, y_l):
+            u_l, y_l = u_l[0], y_l[0]
+            f_sum = pmesh.halo_sum_forces(ops.apply_k(u_l, y_l, K0, lg))
+            f_ovl = pmesh.halo_overlap_apply(
+                u_l, y_l[:1], y_l[-1:],
+                lambda v: ops.apply_k(v, y_l, K0, lg),
+                lambda u2, p: ops.apply_k(u2, p, K0, sg0))
+            return f_sum[None], f_ovl[None]
+
+        fs, fo = shard_map(both_fine, mesh=mesh,
+                           in_specs=(P(pmesh.AXIS), P(pmesh.AXIS)),
+                           out_specs=(P(pmesh.AXIS), P(pmesh.AXIS)))(
+            pmesh.shard_node_field(u, sg),
+            pmesh.shard_elem_field(young, sg))
+        np.testing.assert_allclose(np.asarray(fo), np.asarray(fs),
+                                   rtol=1e-6, atol=1e-6)
+
+        # cached-Ke operator (per-element stiffness stack)
+        def both_cached(u_l, y_l):
+            u_l, y_l = u_l[0], y_l[0]
+            Ke = jnp.einsum("...,de->...de", y_l,
+                            K0, precision=jax.lax.Precision.HIGHEST)
+            f_sum = pmesh.halo_sum_forces(ops.apply_k_cached(u_l, Ke, lg))
+            f_ovl = pmesh.halo_overlap_apply(
+                u_l, Ke[:1], Ke[-1:],
+                lambda v: ops.apply_k_cached(v, Ke, lg),
+                lambda u2, p: ops.apply_k_cached(u2, p, sg0))
+            return f_sum[None], f_ovl[None]
+
+        fs, fo = shard_map(both_cached, mesh=mesh,
+                           in_specs=(P(pmesh.AXIS), P(pmesh.AXIS)),
+                           out_specs=(P(pmesh.AXIS), P(pmesh.AXIS)))(
+            pmesh.shard_node_field(u, sg),
+            pmesh.shard_elem_field(young, sg))
+        np.testing.assert_allclose(np.asarray(fo), np.asarray(fs),
+                                   rtol=1e-6, atol=1e-6)
+        print("OVERLAP_OK")
+        """
+    )
+
+
 def test_sharded_transfer_operators_match_unsharded():
     """restrict_sharded / prolong_sharded == global restrict/prolongate."""
     _run_in_multidevice_subprocess(
