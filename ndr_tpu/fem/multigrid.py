@@ -520,7 +520,7 @@ def _apply_k_level(lv: LevelState, u: jnp.ndarray) -> jnp.ndarray:
     if lv.kind == "fine":
         if lv.use_pallas:
             from ndr_tpu.fem import pallas_kernels as pk
-            return pk.apply_k_pallas(u, lv.young, lv.K0, lv.grid)
+            return pk.apply_k_pallas_fine(u, lv.young, lv.K0, lv.grid)
         return ops.apply_k(u, lv.young, lv.K0, lv.grid)
     if lv.kind == "transfer":
         ndim = lv.grid.ndim
@@ -1241,7 +1241,7 @@ def _mgpcg_solve_refined(
         def residual64(u):
             u_hi = u.astype(f32)
             u_lo = (u - u_hi.astype(f64)).astype(f32)
-            ku = pk.apply_k_pallas_df(
+            ku = pk.apply_k_pallas_df_fine(
                 u_hi, u_lo, y_hi, y_lo, np.asarray(cfg.K0), lv0.grid
             )
             return zero_d64(force64 - ku)

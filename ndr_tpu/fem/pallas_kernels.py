@@ -934,6 +934,26 @@ def apply_k_pallas_df_flat(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
     return jnp.stack(comps, axis=-1).reshape(node_dims + (ndim,))
 
 
+# Production dispatchers for the fine-level kernels. "flat" (the
+# single-copy layout above) vs "variant" (the trailing-offset layout) is
+# switchable per process for on-device A/B (NDR_FINE_KERNEL=variant).
+import os as _os
+
+_FINE_IMPL = _os.environ.get("NDR_FINE_KERNEL", "variant")
+
+
+def apply_k_pallas_fine(u, young, K0, grid: Grid, **kw):
+    if _FINE_IMPL == "flat":
+        return apply_k_pallas_flat(u, young, K0, grid, **kw)
+    return apply_k_pallas(u, young, K0, grid, **kw)
+
+
+def apply_k_pallas_df_fine(u_hi, u_lo, y_hi, y_lo, K0, grid: Grid, **kw):
+    if _FINE_IMPL == "flat":
+        return apply_k_pallas_df_flat(u_hi, u_lo, y_hi, y_lo, K0, grid, **kw)
+    return apply_k_pallas_df(u_hi, u_lo, y_hi, y_lo, K0, grid, **kw)
+
+
 # ---------------------------------------------------------------------------
 # Cached-Ke stiffness apply: Galerkin-coarsened multigrid levels.
 #

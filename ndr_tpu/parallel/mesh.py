@@ -429,7 +429,7 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
                         from ndr_tpu.fem import pallas_kernels as pk
                         return halo_overlap_apply(
                             u, young[:1], young[-1:],
-                            lambda v: pk.apply_k_pallas(v, young, K0, lg),
+                            lambda v: pk.apply_k_pallas_fine(v, young, K0, lg),
                             lambda u2, p: ops.apply_k(
                                 u2, p, jnp.asarray(K0, u2.dtype), sg0),
                         )
@@ -628,7 +628,7 @@ def make_sharded_mgpcg(sg: ShardedGrid, prob: FEMProblem, num_levels: int,
             def residual64(u):
                 ku = halo_overlap_apply(
                     u, young64[:1], young64[-1:],
-                    lambda v: pk.apply_k_pallas_df(
+                    lambda v: pk.apply_k_pallas_df_fine(
                         v.astype(f32),
                         (v - v.astype(f32).astype(f64)).astype(f32),
                         y_hi, y_lo, K0, lg0),
