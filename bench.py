@@ -45,7 +45,7 @@ def _readback(x):
 
 
 def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto",
-                   settings_kw=None):
+                   settings_kw=None, precond_lag=0):
     import jax
     import jax.numpy as jnp
 
@@ -87,6 +87,32 @@ def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto",
     # throughput — the number a production on-device OC loop delivers.
     # (named run_k with the same body as scripts/profile_oc.py's scan
     # program so the persistent compile cache is shared between them)
+    if precond_lag > 1:
+        # lagged preconditioner: the hierarchy + coarsest factor ride
+        # the scan carry, rebuilt every `precond_lag` steps (the same
+        # program shape as profile_oc.py's <base>_lagN variants)
+        @jax.jit
+        def run_k_lag(s, leaves):
+            def body(carry, i):
+                s, lv = carry
+                lv = jax.lax.cond(
+                    i % precond_lag == 0,
+                    lambda _: solve.build_precond(top.physical_density(s.x)),
+                    lambda l: l, lv)
+                s, m = topopt.oc_step(top, s, precond=lv)
+                return (s, lv), (m["compliance"], m["cg_iters"])
+            return jax.lax.scan(body, (s, leaves), jnp.arange(n))
+
+        leaves0 = jax.jit(solve.build_precond)(
+            jax.jit(top.physical_density)(state.x))
+        (state, leaves), (cs, its) = run_k_lag(state, leaves0)
+        _readback(cs)
+        t0 = time.perf_counter()
+        (state, leaves), (cs, its) = run_k_lag(state, leaves)
+        last_c = _readback(cs[-1:])
+        sec = (time.perf_counter() - t0) / n
+        return sec, 2.0 * last_c
+
     @jax.jit
     def run_k(s):
         def body(s, _):
