@@ -103,6 +103,21 @@ def test_classic_pipeline_plain_cg_path():
     assert result.binary_compliance > 0
 
 
+def test_classic_precond_lag_matches_fresh_rebuild():
+    """ground_truth_topopt with --precond-lag (lagged MG hierarchy +
+    adaptive rebuild guard) tracks the rebuild-every-step trajectory:
+    both solves converge to tol on the exact operator, so OC sees
+    near-identical gradients (classic.py lag wiring end-to-end)."""
+    cfg = load_problem("problems/3d/cantilever_flexion.json")
+    kw = dict(dims=(8, 4, 4), max_iter=6, multigrid_levels=1, tol=1e-8,
+              log=lambda s: None)
+    fresh = ground_truth_topopt(cfg, **kw)
+    lagged = ground_truth_topopt(cfg, precond_lag=3, **kw)
+    np.testing.assert_allclose(lagged.history, fresh.history, rtol=1e-4)
+    np.testing.assert_allclose(lagged.compliance, fresh.compliance,
+                               rtol=1e-4)
+
+
 def test_neural_adaptive_filtering_schedule():
     """Adaptive filtering enters the jitted step as dynamic (beta, sigma)
     operands + static stencil sizes, and the schedule updates per step
