@@ -378,7 +378,11 @@ def _flat_kernel_body(ndim, npe, T, K0r, Rn, troffs, interpret, refs):
 
 def _pick_slab_flat(Rn: int, requested: int) -> int:
     """Slab thickness for the flat kernel: the live set is ~40 slab
-    planes (blocks + rolled views + accumulators), all (T+1, Rn) f32."""
+    planes (blocks + rolled views + accumulators), all (T+1, Rn) f32.
+    T=8 is the floor (f32 sublane tile); grids whose flattened trailing
+    plane exceeds the budget even at T=8 (~55k lanes, i.e. ~512^2
+    trailing dims) would need an Rn-tiled 2-D kernel grid — out of scope
+    for the shapes this framework targets (<= 320x160x80-class)."""
     budget = 80e6
     for T in (requested, 16, 8):
         if 40 * (T + 1) * Rn * 4 <= budget:
