@@ -230,15 +230,21 @@ class MGConfig:
 
 
 def _parity_color_masks(grid: Grid) -> np.ndarray:
-    """2^N node-parity masks in local-node C order (matching the color
-    order of visitNodesMulticolored for degree 1)."""
+    """(degree+1)^N node-class masks in local-node C order (matching the
+    color order of visitNodesMulticolored; reference:
+    NDVector.hh visitSupportedNodes / MultigridSolver.hh:284-340).
+
+    Two nodes share an element iff their multi-indices differ by < degree+1
+    in every dim, so classes of coordinate mod (degree+1) are independent
+    (degree 1: the usual 2^N parity classes)."""
     ndim = grid.ndim
+    s = grid.degree + 1
     nodes = grid.nodes_per_dim
     masks = []
-    for bits in itertools.product((0, 1), repeat=ndim):  # C order over local idx
+    for bits in itertools.product(range(s), repeat=ndim):  # C order over local idx
         m = np.ones(nodes, dtype=bool)
         for d in range(ndim):
-            ax = np.arange(nodes[d]) % 2 == bits[d]
+            ax = np.arange(nodes[d]) % s == bits[d]
             shape = [1] * ndim
             shape[d] = nodes[d]
             m &= ax.reshape(shape)
@@ -282,8 +288,14 @@ def build_mg_config(prob: FEMProblem, num_levels: int,
 
     (reference: MultigridSolver constructor, MultigridSolver.hh:22-90)
     """
-    if prob.grid.degree != 1:
-        raise NotImplementedError("multigrid currently supports degree-1 elements")
+    if prob.grid.degree != 1 and num_levels > 0:
+        # geometric 2x coarsening (interpolation stencils, Galerkin
+        # component stacks, parity applies) is built for degree-1 node
+        # lattices; higher degrees run un-coarsened (block-Jacobi PCG via
+        # make_mg_solver's num_levels=0 fallback)
+        raise NotImplementedError(
+            "multigrid coarsening supports degree-1 elements; "
+            "use num_levels=0 (block-Jacobi PCG) for higher degrees")
     levels = []
     grid = prob.grid
     mask = np.asarray(prob.dirichlet_mask)
@@ -308,11 +320,14 @@ def build_mg_config(prob: FEMProblem, num_levels: int,
     lmax_bounds = {0: _pencil_lmax_bound(K0, ndim)}
     for l in range(1, num_levels + 1):
         lmax_bounds[l] = _pencil_lmax_bound(c_stacks[l], ndim)
+    deg1 = prob.grid.degree == 1
     return MGConfig(
         levels=tuple(levels),
         K0=K0,
-        ck0=coarsened_k0s(K0, ndim),
-        phis=compressed_interpolation_phis(ndim),
+        # interpolation/Galerkin constants are degree-1 constructions;
+        # higher-degree configs exist only at num_levels=0 (never coarsen)
+        ck0=coarsened_k0s(K0, ndim) if deg1 else None,
+        phis=compressed_interpolation_phis(ndim) if deg1 else None,
         c_stacks=c_stacks,
         diag_stacks=diag_stacks,
         ke_cache_limit_bytes=ke_cache_limit_bytes,
@@ -633,16 +648,19 @@ def gs_sweep(lv: LevelState, u, b, forward: bool = True):
     order = list(range(n_colors)) if forward else list(
         range(n_colors - 1, -1, -1))
 
+    # the 1/2^N-cost parity apply is a degree-1 construction; transfer
+    # levels and higher-degree grids update with the full apply per color
+    parity_ok = lv.kind != "transfer" and lv.grid.degree == 1
     r = b - _apply_k_level(lv, u)
     for k, c in enumerate(order):
         du = _gs_trisolve_color(lv, r, c, forward)
         u = u + du
         if k == n_colors - 1:
             break
-        if lv.kind == "transfer":
-            r = r - _apply_k_level(lv, du)
-        else:
+        if parity_ok:
             r = r - apply_k_parity(lv, du, bits[c])
+        else:
+            r = r - _apply_k_level(lv, du)
     return u
 
 
@@ -652,9 +670,10 @@ def build_level_states(
     cached_ke_dtype: Optional[str] = None,
     masks: Optional[Sequence[jnp.ndarray]] = None,
 ) -> List[LevelState]:
-    # the fused Pallas kernel is fp32-only (TPUs have no native f64);
-    # float64 problems take the XLA apply
-    use_pallas = use_pallas and young.dtype == jnp.float32
+    # the fused Pallas kernel is fp32-only (TPUs have no native f64) and
+    # degree-1-only; float64 / higher-degree problems take the XLA apply
+    use_pallas = (use_pallas and young.dtype == jnp.float32
+                  and cfg.levels[0].grid.degree == 1)
     states = []
     last = cfg.num_levels - 1
     # full-precision Ke of the previous cached level, kept for recursive
@@ -1334,12 +1353,15 @@ def resolve_use_pallas(setting, grid: Grid) -> bool:
         on_tpu = "tpu" in f"{d.platform} {d.device_kind}".lower()
     except Exception:
         on_tpu = False
-    return on_tpu and grid.ndim == 3 and grid.num_elements >= (1 << 17)
+    return (on_tpu and grid.ndim == 3 and grid.degree == 1
+            and grid.num_elements >= (1 << 17))
 
 
 def max_feasible_coarsenings(grid: Grid) -> int:
     """How many 2x coarsenings the grid admits (all dims even each time;
     same constraint as the reference, MultigridSolver.hh:36-38)."""
+    if grid.degree != 1:
+        return 0  # coarsening machinery is degree-1 (see build_mg_config)
     n, dims = 0, grid.dims
     while all(d % 2 == 0 and d >= 2 for d in dims):
         dims = tuple(d // 2 for d in dims)

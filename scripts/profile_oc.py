@@ -456,6 +456,14 @@ def main():
         # quantifies the GS-vs-Chebyshev per-step premium at scale
         "prod_gs": dict(lmax_power_iters=0, smoother="gs",
                         coarse_solver="ns"),
+        # crash-isolation variants for the prod_gs TPU-worker fault
+        # (first scan-timed attempt killed the worker): same GS smoother
+        # with the Pallas fine apply disabled (pure-XLA applies), and
+        # with the Cholesky coarsest solve instead of Newton-Schulz
+        "prod_gs_xla": dict(lmax_power_iters=0, smoother="gs",
+                            coarse_solver="ns", use_pallas=False),
+        "prod_gs_cho": dict(lmax_power_iters=0, smoother="gs",
+                            coarse_solver="cholesky"),
     }
     for name in [v for v in args.variants.split(",") if v]:
         # "<base>_lagN": base variant + lagged preconditioner rebuilt

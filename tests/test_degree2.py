@@ -104,6 +104,47 @@ def test_degree2_cg_matches_dense_solve():
     assert np.isfinite(c) and c > 0
 
 
+def test_degree2_make_mg_solver_falls_back_to_jacobi():
+    """make_mg_solver on a degree-2 grid: coarsening is a degree-1
+    construction, so the solver must clamp to num_levels=0 block-Jacobi
+    PCG (same fallback as un-coarsenable grids) and still match the
+    dense direct oracle."""
+    from ndr_tpu.fem import multigrid as mg
+
+    prob, grid = _mbb_problem((6, 2), degree=2)
+    assert mg.max_feasible_coarsenings(grid) == 0
+    solve = mg.make_mg_solver(
+        prob, mg.MGSolverSettings(num_levels=3, cg_iter=4000, tol=1e-12)
+    )
+    assert solve.settings.precond == "jacobi"
+    rho = jnp.full(grid.dims, 0.5, jnp.float64)
+    u, iters = solve(rho)
+    u_dense = solvers.dense_solve(
+        prob.young(rho), prob.K0, prob.dirichlet_mask, prob.force, grid
+    )
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(u_dense), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_degree2_color_masks_partition_grid():
+    """(degree+1)^N node classes partition the node lattice and are
+    element-independent: two same-class nodes never share an element
+    (the debugMulticolorVisit invariant at degree 2)."""
+    from ndr_tpu.fem.multigrid import _parity_color_masks
+
+    grid = make_grid((3, 2), [[0, 0], [1.5, 1]], degree=2)
+    masks = _parity_color_masks(grid)
+    assert masks.shape[0] == 9
+    np.testing.assert_array_equal(masks.sum(axis=0), 1)
+    offs = ops.local_node_offsets(grid)
+    # element at (i,j) touches nodes 2*(i,j)+offs; same-color nodes in a
+    # single element would collide mod 3
+    for m in masks:
+        idx = np.argwhere(m)
+        assert len({tuple(x % 3) for x in idx}) <= 1
+
+
 def test_degree2_more_accurate_than_degree1_per_element():
     """At matched ELEMENT counts a quadratic discretization resolves the
     MBB compliance better: degree-2 compliance must sit between the
