@@ -90,6 +90,11 @@ def main():
         u_hi, u_lo, y_hi, y_lo)
     err = float(jnp.abs(f_df - f_64).max() / jnp.abs(f_64).max())
     print(f"two-float vs f64 rel-max err: {err:.2e} (floor ~1e-11)")
+    f_dfl = bench("pallas 2flt flat", jax.jit(
+        lambda a, b, c, d: pk.apply_k_pallas_df_flat(a, b, c, d, K0, grid)),
+        u_hi, u_lo, y_hi, y_lo)
+    err = float(jnp.abs(f_dfl - f_64).max() / jnp.abs(f_64).max())
+    print(f"two-float flat vs f64 rel-max err: {err:.2e} (floor ~1e-11)")
 
 
 if __name__ == "__main__":
