@@ -456,6 +456,14 @@ def main():
         # quantifies the GS-vs-Chebyshev per-step premium at scale
         "prod_gs": dict(lmax_power_iters=0, smoother="gs",
                         coarse_solver="ns"),
+        # L1 as a TRANSFER level (restrict o fine-apply o prolong) instead
+        # of cached-Ke: the phase profile measured l1_transfer_apply 6.6 ms
+        # vs l1_cached_apply 7.5 ms + a 1.2 GB Ke stream + 22 ms l1_ke_build
+        # per rebuild — and the flat fine kernel makes the embedded fine
+        # apply cheaper still. 200 MB keeps L2+ (151 MB at 256-class) cached.
+        "prod_kelim": dict(lmax_power_iters=0, cheb_degree=1,
+                           coarse_solver="cholesky",
+                           ke_cache_limit_bytes=200 * 2**20),
         # crash-isolation variants for the prod_gs TPU-worker fault
         # (first scan-timed attempt killed the worker): same GS smoother
         # with the Pallas fine apply disabled (pure-XLA applies), and
