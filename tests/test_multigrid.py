@@ -458,6 +458,37 @@ def test_lagged_precond_refined_path():
         atol=2e-5 * float(jnp.max(jnp.abs(u_ref))))
 
 
+def test_lagged_precond_transfer_levels():
+    """Lag leaves round-trip through a hierarchy containing TRANSFER
+    levels (ke_cache_limit_bytes=0 forces every intermediate level to the
+    restrict-apply-prolong form — the prod_kelim production variant):
+    transfer levels carry no Ke leaves, so the packing must stay
+    consistent."""
+    cfg, prob, grid = _problem("problems/3d/cantilever_flexion.json",
+                               (16, 8, 8))
+    rng = np.random.default_rng(7)
+    rho = jnp.asarray(rng.uniform(0.2, 1.0, grid.dims), prob.force.dtype)
+    settings = mg.MGSolverSettings(
+        num_levels=2, cg_iter=100, tol=1e-8, smoother="chebyshev",
+        lmax_power_iters=0, mixed_precision=False,
+        ke_cache_limit_bytes=0, coarse_solver="cholesky")
+    solve = mg.make_mg_solver(prob, settings)
+    kinds = [solve.cfg.level_kind(l) for l in range(solve.cfg.num_levels)]
+    assert "transfer" in kinds
+    leaves = jax.jit(solve.build_precond)(rho)
+    u_rt, it_rt = jax.jit(lambda r, p: solve(r, None, precond=p))(rho, leaves)
+    u_fresh, it_fresh = solve(rho, None)
+    np.testing.assert_allclose(
+        np.asarray(u_rt), np.asarray(u_fresh),
+        atol=1e-7 * float(jnp.max(jnp.abs(u_fresh))))
+    assert int(it_rt) == int(it_fresh)
+    # drifted density: stale transfer-level precond still converges
+    rho2 = jnp.clip(rho + jnp.asarray(
+        rng.uniform(-0.05, 0.05, grid.dims), prob.force.dtype), 0.05, 1.0)
+    _, it_lag = jax.jit(lambda r, p: solve(r, None, precond=p))(rho2, leaves)
+    assert int(it_lag) < settings.cg_iter
+
+
 def test_leaves_roundtrip_identical_solve():
     """levels_from_leaves(template, precond_leaves(levels)) reproduces the
     fresh solve exactly when built at the same density."""
