@@ -76,7 +76,26 @@ def ground_truth_topopt(
         flt.ProjectionFilter(beta=projection_beta),
     ]
     mixed = False
-    if shards and shards > 1:
+    shards_2d = (tuple(shards) if isinstance(shards, (tuple, list))
+                 else None)
+    if shards_2d and (shards_2d[0] * shards_2d[1] > 1):
+        # 2-D pencil decomposition over a (nx, ny) device mesh
+        # (parallel.mesh.make_sharded_solver_2d)
+        from ndr_tpu.parallel import mesh as pmesh
+        import jax as _jax
+
+        nx, ny = shards_2d
+        mixed = dtype == jnp.float32 and _jax.config.jax_enable_x64
+        solve = pmesh.make_sharded_solver_2d(
+            prob, nx, ny, num_levels=multigrid_levels,
+            tol=tol, max_iter=cg_iter or 100,
+            mixed_precision=mixed,
+            use_pallas=mg.resolve_use_pallas(
+                use_pallas, prob.grid.with_dims(
+                    (prob.grid.dims[0] // nx, prob.grid.dims[1] // ny)
+                    + prob.grid.dims[2:])),
+        )
+    elif shards and not shards_2d and shards > 1:
         # slab decomposition over a device mesh (parallel.mesh): the
         # sharded MGPCG with f64 refinement replaces the single-chip
         # solver; everything else (filters, OC, adjoint) is unchanged

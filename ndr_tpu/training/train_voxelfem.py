@@ -44,9 +44,11 @@ def main(argv=None):
                         "1e-4; its mgl=0 path is an exact direct solve — use a tight "
                         "tol like 1e-8 to reproduce those runs)")
     p.add_argument("--log-every", default=1, type=int)
-    p.add_argument("--shards", default=0, type=int,
-                   help="slab-decompose the grid over this many devices "
-                        "(sharded MGPCG via shard_map; 0 = single device)")
+    p.add_argument("--shards", default="0",
+                   help="decompose the grid over devices: N = 1-D slabs "
+                        "along x; NX,NY = 2-D pencils over a (NX, NY) "
+                        "mesh (sharded MGPCG via shard_map; 0 = single "
+                        "device)")
     p.add_argument("--precond-lag", default=0, type=int,
                    help="rebuild the MG hierarchy every K OC steps instead "
                         "of every step (preconditioner-only staleness; the "
@@ -97,7 +99,9 @@ def main(argv=None):
         log_every=args.log_every, smoother=args.smoother,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         cg_iter=args.cg_iter, optimizer=args.optim, snapshot_cb=snapshot_cb,
-        shards=args.shards, precond_lag=args.precond_lag,
+        shards=(tuple(int(s) for s in args.shards.split(","))
+                if "," in args.shards else int(args.shards)),
+        precond_lag=args.precond_lag,
     )
     np.save(os.path.join(args.out, f"{title}_densities.npy"), result.densities)
     export.write_vtr(

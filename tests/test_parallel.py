@@ -350,3 +350,135 @@ def test_sharded_classic_oc_matches_single_device():
         """,
         x64=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D pencil decomposition (mesh.make_sharded_mgpcg_2d)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded2d_apply_and_vdot_match_global():
+    """Composed x-then-y force halo sums complete corner contributions
+    transitively: the 2-D-sharded applyK equals the global applyK, and
+    psum_vdot_2d equals the global dot product."""
+    _run_in_multidevice_subprocess(
+        """
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(8, 8, 4),
+                                         dtype=jnp.float32)
+        sg = pmesh.ShardedGrid2D(global_grid=grid, shards_x=2, shards_y=2)
+        mesh = pmesh.make_mesh_2d(2, 2)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal(grid.nodes_per_dim + (3,)),
+                        jnp.float32)
+        rho = jnp.asarray(rng.uniform(0.05, 1.0, grid.dims), jnp.float32)
+        young = prob.young(rho)
+        K0 = np.asarray(prob.K0)
+
+        f_ref = ops.apply_k(u, young, jnp.asarray(K0, jnp.float32), grid)
+        dot_ref = float(jnp.vdot(u, f_ref,
+                                 precision=jax.lax.Precision.HIGHEST))
+
+        def one(u_l, y_l):
+            lg = sg.local_grid
+            f = pmesh.halo_sum_forces_2d(
+                ops.apply_k(u_l[0, 0], y_l[0, 0],
+                            jnp.asarray(K0, jnp.float32), lg))
+            d = pmesh.psum_vdot_2d(u_l[0, 0], f)
+            return f[None, None], d
+
+        f, d = shard_map(
+            one, mesh=mesh,
+            in_specs=(P(pmesh.AXIS, pmesh.AXIS_Y),
+                      P(pmesh.AXIS, pmesh.AXIS_Y)),
+            out_specs=(P(pmesh.AXIS, pmesh.AXIS_Y), P()))(
+            pmesh.shard_node_field_2d(u, sg),
+            pmesh.shard_elem_field_2d(young, sg))
+        f_full = pmesh.unshard_node_field_2d(f, sg)
+        np.testing.assert_allclose(np.asarray(f_full), np.asarray(f_ref),
+                                   rtol=2e-5, atol=2e-5)
+        assert abs(float(d) - dot_ref) <= 2e-4 * abs(dot_ref), (
+            float(d), dot_ref)
+        print("APPLY2D_OK")
+        """
+    )
+
+
+def test_sharded2d_mgpcg_matches_dense_oracle():
+    """Full 2-D-sharded MGPCG (Galerkin level + Chebyshev + all-gathered
+    coarse solve over both mesh axes) converges to the dense-solve
+    displacement; duplicated planes stay consistent along both axes."""
+    _run_in_multidevice_subprocess(
+        """
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(8, 8, 4),
+                                         dtype=jnp.float32)
+        sg = pmesh.ShardedGrid2D(global_grid=grid, shards_x=2, shards_y=2)
+        mesh = pmesh.make_mesh_2d(2, 2)
+        rng = np.random.default_rng(2)
+        rho = jnp.asarray(rng.uniform(0.3, 1.0, grid.dims), jnp.float32)
+
+        solve = pmesh.make_sharded_mgpcg_2d(sg, prob, num_levels=1,
+                                            tol=1e-7, max_iter=200)
+
+        def one(u0_l, rho_l, b_l):
+            x, iters = solve(u0_l[0, 0], rho_l[0, 0], b_l[0, 0])
+            return x[None, None], iters
+
+        shsolve = shard_map(
+            one, mesh=mesh,
+            in_specs=(P(pmesh.AXIS, pmesh.AXIS_Y),) * 3,
+            out_specs=(P(pmesh.AXIS, pmesh.AXIS_Y), P()))
+
+        b = prob.zero_dirichlet(prob.force).astype(jnp.float32)
+        u_slabs, iters = jax.jit(shsolve)(
+            pmesh.shard_node_field_2d(jnp.zeros_like(b), sg),
+            pmesh.shard_elem_field_2d(rho, sg),
+            pmesh.shard_node_field_2d(b, sg))
+        u = np.asarray(pmesh.unshard_node_field_2d(u_slabs, sg))
+
+        u_ref = np.asarray(solvers.dense_solve(
+            prob.young(rho.astype(jnp.float64)), np.asarray(prob.K0),
+            prob.dirichlet_mask, prob.force.astype(jnp.float64), grid))
+        err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+        assert err < 1e-4, f"relative error {err}"
+        assert int(iters) < 60, f"MGPCG took {int(iters)} iters"
+        s = np.asarray(u_slabs)
+        for i in range(2):
+            np.testing.assert_allclose(s[1, i][0], s[0, i][-1],
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(s[i, 1][:, 0], s[i, 0][:, -1],
+                                       rtol=1e-6, atol=1e-7)
+        print("MGPCG2D_OK", int(iters), err)
+        """
+    )
+
+
+def test_sharded2d_refined_solver_matches_dense_oracle():
+    """The 2-D driver-facing SolveFn (f64 refinement around fp32 MGPCG,
+    global arrays in/out) matches the dense f64 oracle."""
+    _run_in_multidevice_subprocess(
+        """
+        cfg = load_problem("problems/3d/bridge.json")
+        prob, grid = problem_from_config(cfg, dims=(8, 8, 4),
+                                         dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        rho = jnp.asarray(rng.uniform(0.3, 1.0, grid.dims), jnp.float32)
+
+        solve = pmesh.make_sharded_solver_2d(
+            prob, 2, 2, num_levels=1, tol=1e-8, max_iter=200,
+            mixed_precision=True)
+        u, iters = jax.block_until_ready(solve(rho))
+        u = np.asarray(u)
+
+        prob64 = problem_from_config(cfg, dims=(8, 8, 4),
+                                     dtype=jnp.float64)[0]
+        u_ref = np.asarray(solvers.dense_solve(
+            prob64.young(rho.astype(jnp.float64)), np.asarray(prob64.K0),
+            prob64.dirichlet_mask, prob64.force, grid))
+        err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+        assert err < 1e-6, f"relative error {err}"
+        print("REFINED2D_OK", int(iters), err)
+        """,
+        x64=True,
+    )
