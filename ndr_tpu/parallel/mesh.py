@@ -930,19 +930,34 @@ def make_sharded_mgpcg_2d(sg: ShardedGrid2D, prob: FEMProblem,
         for l in range(num_levels + 1):
             lg = local_grids[l]
             mask_l = _local_slice_2d(level_masks[l], lg.dims[0], lg.dims[1])
+            # x-direction: input-pre-exchange overlap (halo_overlap_apply
+            # == the x force sum, equivalence-tested on the 1-D path), so
+            # the ICI transfer hides under the local apply; y-direction:
+            # force sum, which also completes x-strip corner terms
+            # transitively (see the section comment)
             if l == 0:
                 Ke = None
                 blocks = ops.node_diag_blocks(young, K0, lg)
+                sg0 = lg.with_dims((1,) + lg.dims[1:])
                 if use_pallas:
-                    def apply_l(u, young=young, lg=lg):
+                    def apply_l(u, young=young, lg=lg, sg0=sg0):
                         from ndr_tpu.fem import pallas_kernels as pk
-                        return halo_sum_forces_2d(
-                            pk.apply_k_pallas_fine(u, young, K0, lg))
+                        f = halo_overlap_apply(
+                            u, young[:1], young[-1:],
+                            lambda v: pk.apply_k_pallas_fine(v, young, K0, lg),
+                            lambda u2, p: ops.apply_k(
+                                u2, p, jnp.asarray(K0, u2.dtype), sg0),
+                        )
+                        return _halo_sum_axis(f, 1, AXIS_Y)
                 else:
-                    def apply_l(u, young=young, lg=lg):
-                        return halo_sum_forces_2d(
-                            ops.apply_k(u, young,
-                                        jnp.asarray(K0, u.dtype), lg))
+                    def apply_l(u, young=young, lg=lg, sg0=sg0):
+                        K0t = jnp.asarray(K0, u.dtype)
+                        f = halo_overlap_apply(
+                            u, young[:1], young[-1:],
+                            lambda v: ops.apply_k(v, young, K0t, lg),
+                            lambda u2, p: ops.apply_k(u2, p, K0t, sg0),
+                        )
+                        return _halo_sum_axis(f, 1, AXIS_Y)
             else:
                 C = jnp.asarray(c_stacks[l], young.dtype)
                 pooled = mg.pooled_young(young, l)
@@ -952,7 +967,13 @@ def make_sharded_mgpcg_2d(sg: ShardedGrid2D, prob: FEMProblem,
                 blocks = ops.node_diag_blocks_cached(Ke, lg)
 
                 def apply_l(u, Ke=Ke, lg=lg):
-                    return halo_sum_forces_2d(ops.apply_k_cached(u, Ke, lg))
+                    sgl = lg.with_dims((1,) + lg.dims[1:])
+                    f = halo_overlap_apply(
+                        u, Ke[:1], Ke[-1:],
+                        lambda v: ops.apply_k_cached(v, Ke, lg),
+                        lambda u2, p: ops.apply_k_cached(u2, p, sgl),
+                    )
+                    return _halo_sum_axis(f, 1, AXIS_Y)
 
             blocks = halo_sum_forces_2d(blocks)
             Dinv = ops.invert_blocks(blocks)
@@ -1114,9 +1135,15 @@ def make_sharded_mgpcg_2d(sg: ShardedGrid2D, prob: FEMProblem,
         b64 = zero_d64(b_l.astype(f64))
         K0_64 = jnp.asarray(K0, f64)
 
+        sg0 = lg0.with_dims((1,) + lg0.dims[1:])
+
         def residual64(u):
-            ku = halo_sum_forces_2d(ops.apply_k(u, young64, K0_64, lg0))
-            return zero_d64(b64 - ku)
+            ku = halo_overlap_apply(
+                u, young64[:1], young64[-1:],
+                lambda v: ops.apply_k(v, young64, K0_64, lg0),
+                lambda u2, p: ops.apply_k(u2, p, K0_64, sg0),
+            )
+            return zero_d64(b64 - _halo_sum_axis(ku, 1, AXIS_Y))
 
         b_norm = jnp.sqrt(psum_vdot_2d(b64, b64))
         u = zero_d64(u0_l.astype(f64))
