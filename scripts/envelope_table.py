@@ -12,6 +12,7 @@ import sys
 def main():
     path = sys.argv[1]
     rows = [json.loads(l) for l in open(path) if l.strip().startswith("{")]
+    rows = [r for r in rows if "Emin" in r]  # skip the trailing summary
     print("| Emin | cg tol | warm start | mean ‖u-u*‖/‖u*‖ | mean |c-c*|/c* | mean CG iters |")
     print("|---|---|---|---|---|---|")
     for r in rows:
