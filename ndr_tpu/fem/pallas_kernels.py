@@ -322,7 +322,9 @@ def _flat_kernel_body(ndim, npe, T, K0r, Rn, troffs, interpret, refs):
             return x
         if interpret:
             return jnp.roll(x, shift, axis=1)
-        return pltpu.roll(x, shift % Rn, axis=1)
+        # NB: int32 constant — under jax_enable_x64 a bare Python int
+        # lowers as i64 and tpu.dynamic_rotate rejects non-i32 shifts.
+        return pltpu.roll(x, jnp.int32(shift % Rn), axis=1)
 
     i = pl.program_id(0)
 
@@ -766,7 +768,9 @@ def _flat_df_kernel_body(ndim, npe, T, K0r, Rn, troffs, interpret, refs):
             return x
         if interpret:
             return jnp.roll(x, shift, axis=1)
-        return pltpu.roll(x, shift % Rn, axis=1)
+        # NB: int32 constant — under jax_enable_x64 a bare Python int
+        # lowers as i64 and tpu.dynamic_rotate rejects non-i32 shifts.
+        return pltpu.roll(x, jnp.int32(shift % Rn), axis=1)
 
     i = pl.program_id(0)
 
@@ -940,14 +944,20 @@ def apply_k_pallas_df_flat(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
 
 # Production dispatchers for the fine-level kernels. "flat" (the
 # single-copy layout above) vs "variant" (the trailing-offset layout) is
-# switchable per process for on-device A/B (NDR_FINE_KERNEL=variant).
+# switchable per process for on-device A/B (NDR_FINE_KERNEL).
+#
+# Default "flat32": flat fp32 apply (measured 2.39 ms vs 3.91 variant at
+# 256x128x128 on v5e, bit-validated vs XLA), variant two-float kernel —
+# the flat df kernel's Mosaic compile ran past 5 min and exceeded the
+# 100 MB VMEM budget at production Rn (the TwoSum temporaries double
+# every live range), so it stays opt-in ("flat") until retiled.
 import os as _os
 
-_FINE_IMPL = _os.environ.get("NDR_FINE_KERNEL", "variant")
+_FINE_IMPL = _os.environ.get("NDR_FINE_KERNEL", "flat32")
 
 
 def apply_k_pallas_fine(u, young, K0, grid: Grid, **kw):
-    if _FINE_IMPL == "flat":
+    if _FINE_IMPL in ("flat", "flat32"):
         return apply_k_pallas_flat(u, young, K0, grid, **kw)
     return apply_k_pallas(u, young, K0, grid, **kw)
 
