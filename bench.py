@@ -10,14 +10,19 @@ Sub-benchmarks (all measured steady-state, compile excluded):
   3. neural FF-MLP TO, 3D bridge 64x32x16    (ref 1.11 it/s = 0.90 s/iter,
      (1024-FF/512x4, maxed_barrier, mgl=3)    logs/slurm/ff/test.log)
 
-Prints ONE JSON line; `value` is the headline 3D classic s/iter (the
-capability the paper scales on), `vs_baseline` its speedup; per-bench
-numbers are in `extra`. Set NDR_BENCH_FULL=1 to add the exact-config
-256x128x128 run (ref 2.8 s/iter) — ~20 min cold compile at 4.19M voxels.
+Emits the cumulative result JSON line after EVERY completed sub-bench
+(the last complete line is authoritative), so a wall-clock cutoff in a
+later stage cannot lose the earlier numbers; `value` is the headline 3D
+classic s/iter, `vs_baseline` its speedup; per-bench numbers in `extra`.
+The exact-config 256x128x128 headline (ref 2.8 s/iter, c1001.log) runs
+last behind a budget guard (NDR_BENCH_BUDGET, default 2400 s; cold
+compile ~8 min, warm via the persistent cache ~2 min). NDR_BENCH_FAST=1
+skips it during development.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -88,29 +93,33 @@ def _classic_bench(prob_path, dims, mgl, warm, n, use_pallas="auto",
     # (named run_k with the same body as scripts/profile_oc.py's scan
     # program so the persistent compile cache is shared between them)
     if precond_lag > 1:
-        # lagged preconditioner: the hierarchy + coarsest factor ride
-        # the scan carry, rebuilt every `precond_lag` steps (the same
-        # program shape as profile_oc.py's <base>_lagN variants)
-        @jax.jit
-        def run_k_lag(s, leaves):
-            def body(carry, i):
-                s, lv = carry
-                lv = jax.lax.cond(
-                    i % precond_lag == 0,
-                    lambda _: solve.build_precond(top.physical_density(s.x)),
-                    lambda l: l, lv)
-                s, m = topopt.oc_step(top, s, precond=lv)
-                return (s, lv), (m["compliance"], m["cg_iters"])
-            return jax.lax.scan(body, (s, leaves), jnp.arange(n))
+        # Lagged preconditioner as a nested scan: the outer body builds
+        # the hierarchy leaves once, the inner scan runs `precond_lag`
+        # OC steps against them as a loop-invariant. The leaves must NOT
+        # ride a scan carry — that double-buffers the ~1.5 GB leaf set
+        # (level-1 cached Ke is 1.2 GB at 256-class) and exhausts v5e
+        # HBM (same program shape as profile_oc.py's <base>_lagN).
+        n_blocks = max(1, n // precond_lag)
+        n_steps = n_blocks * precond_lag
 
-        leaves0 = jax.jit(solve.build_precond)(
-            jax.jit(top.physical_density)(state.x))
-        (state, leaves), (cs, its) = run_k_lag(state, leaves0)
+        @jax.jit
+        def run_k_lag(s):
+            def block(s, _):
+                leaves = solve.build_precond(top.physical_density(s.x))
+                def body(s, _):
+                    s, m = topopt.oc_step(top, s, precond=leaves)
+                    return s, (m["compliance"], m["cg_iters"])
+                return jax.lax.scan(body, s, None, length=precond_lag)
+            s, ms = jax.lax.scan(block, s, None, length=n_blocks)
+            return s, jax.tree_util.tree_map(
+                lambda a: a.reshape((n_steps,) + a.shape[2:]), ms)
+
+        state, (cs, its) = run_k_lag(state)     # compile + warm
         _readback(cs)
         t0 = time.perf_counter()
-        (state, leaves), (cs, its) = run_k_lag(state, leaves)
+        state, (cs, its) = run_k_lag(state)
         last_c = _readback(cs[-1:])
-        sec = (time.perf_counter() - t0) / n
+        sec = (time.perf_counter() - t0) / n_steps
         return sec, 2.0 * last_c
 
     @jax.jit
@@ -169,81 +178,122 @@ def _neural_bench(warm=40, n=60):
     return sec, last_c
 
 
+_METRIC_192 = ("3D cantilever_flexion 192x96x96 classic SIMP-OC (MGPCG "
+               "mgl=3 tol=1e-4, fused Pallas stiffness), seconds per OC "
+               "iteration")
+_METRIC_256 = ("3D cantilever_flexion 256x128x128 classic SIMP-OC "
+               "(MGPCG mgl=5 tol=1e-4, fused Pallas stiffness, "
+               "f64-refined, lagged preconditioner), seconds per OC "
+               "iteration")
+
+
+class _Emitter:
+    """Incremental result emission (VERDICT r3 weak-2): after every
+    completed sub-benchmark the FULL result-so-far JSON is re-printed as
+    one line, so if a later stage is cut off by the driver's wall-clock
+    limit the last complete line still carries every finished number.
+    A SIGTERM handler (GNU timeout's first signal) emits one final line
+    before dying."""
+
+    def __init__(self):
+        self.extra = {}
+        self.headline = None  # (value_s, ref_s, metric)
+        signal.signal(signal.SIGTERM, self._on_term)
+
+    def emit(self):
+        if self.headline is None:
+            return
+        s, ref, metric = self.headline
+        print(json.dumps({
+            "metric": metric, "value": round(s, 5), "unit": "s/iter",
+            "vs_baseline": round(ref / s, 3), "extra": self.extra,
+        }), flush=True)
+
+    def _on_term(self, signum, frame):
+        self.extra["note_truncated"] = "SIGTERM before all stages finished"
+        self.emit()
+        sys.stdout.flush()
+        os._exit(0)
+
+
 def main():
     import jax
 
     from ndr_tpu.utils.jax_setup import setup
     setup()
 
-    extra = {"device": str(jax.devices()[0])}
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("NDR_BENCH_BUDGET", "2400"))
+    em = _Emitter()
+    em.extra["device"] = str(jax.devices()[0])
 
     s2d, c2d = _classic_bench("problems/2d/mbb_beam.json", None, 2,
                               warm=10, n=50)
-    extra["classic_2d_mbb_300x100"] = {
+    em.extra["classic_2d_mbb_300x100"] = {
         "s_per_iter": round(s2d, 5), "ref_s_per_iter": round(REF_2D_S_PER_ITER, 4),
         "speedup": round(REF_2D_S_PER_ITER / s2d, 2),
         "compliance_at_measurement": round(c2d, 2),
     }
-
-    sn, cn = _neural_bench()
-    extra["neural_3d_bridge_64x32x16"] = {
-        "s_per_iter": round(sn, 5), "ref_s_per_iter": round(REF_NEURAL64_S_PER_ITER, 4),
-        "speedup": round(REF_NEURAL64_S_PER_ITER / sn, 2),
-        "compliance_at_measurement": round(cn, 2),
-        "note": "steady-state after 40 hardening steps (it/s from init is ~2.5x higher)",
-    }
+    em.headline = (s2d, REF_2D_S_PER_ITER,
+                   "2D MBB 300x100 classic SIMP-OC, seconds per OC iteration")
+    em.emit()
 
     s3d, c3d = _classic_bench("problems/3d/cantilever_flexion.json",
                               (192, 96, 96), 3, warm=5, n=20)
-    extra["classic_3d_cantilever_192x96x96"] = {
+    em.extra["classic_3d_cantilever_192x96x96"] = {
         "s_per_iter": round(s3d, 5),
         "ref_s_per_iter": round(REF_3D_192_S_PER_ITER, 4),
         "ref_basis": "per-voxel extrapolation of c1001.log (2.8 s/iter at 4.19M voxels)",
         "speedup": round(REF_3D_192_S_PER_ITER / s3d, 2),
         "compliance_at_measurement": round(c3d, 2),
     }
+    em.headline = (s3d, REF_3D_192_S_PER_ITER, _METRIC_192)
+    em.emit()
+
+    sn, cn = _neural_bench()
+    em.extra["neural_3d_bridge_64x32x16"] = {
+        "s_per_iter": round(sn, 5), "ref_s_per_iter": round(REF_NEURAL64_S_PER_ITER, 4),
+        "speedup": round(REF_NEURAL64_S_PER_ITER / sn, 2),
+        "compliance_at_measurement": round(cn, 2),
+        "note": "steady-state after 40 hardening steps (it/s from init is ~2.5x higher)",
+    }
+    em.emit()
 
     # Headline: the exact-config 4.19M-voxel run of the reference's
-    # c1001.log (2.8 s/iter on its 32-core production node). Apples to
+    # c1001.log (2.8 s/iter on its 128-CPU production node). Apples to
     # apples — same problem JSON, same grid, mgl=5. The persistent
     # compilation cache (utils/jax_setup.py) hides the cold compile on
-    # repeat runs; set NDR_BENCH_FAST=1 to skip during development.
-    if not os.environ.get("NDR_BENCH_FAST"):
+    # repeat runs. Wall-clock guard: a COLD compile of the scan program
+    # is ~8 min; only start the stage if that still fits the budget
+    # (NDR_BENCH_BUDGET, default 2400 s). NDR_BENCH_FAST=1 skips it.
+    elapsed = time.perf_counter() - t_start
+    cold_compile_s = 700.0
+    if os.environ.get("NDR_BENCH_FAST"):
+        em.extra["note_256"] = "skipped (NDR_BENCH_FAST)"
+    elif elapsed + cold_compile_s + 200.0 > budget:
+        em.extra["note_256"] = (
+            f"skipped: {elapsed:.0f}s elapsed of {budget:.0f}s budget "
+            "leaves no room for a cold 256-class compile")
+    else:
         # n=30 matches the profiler's scan-of-30 program shape so the
         # persistent compile cache built by scripts/profile_oc.py --scan
         # is reused (a fresh scan length would recompile ~10 min cold).
         # precond_lag=8: hierarchy + coarsest factor rebuilt every 8 OC
         # steps (the CG operator stays exact — solves land on the same
-        # trajectory; tests/test_training.py pins the driver-level match).
+        # trajectory; logs/c256_lag8_prefix.log pins compliance parity).
         # NDR_BENCH_LAG=0 restores the rebuild-every-step baseline.
         lag = int(os.environ.get("NDR_BENCH_LAG", "8"))
         s256, c256 = _classic_bench(
             "problems/3d/cantilever_flexion.json", (256, 128, 128), 5,
             warm=5, n=30, settings_kw=BEST_256_SETTINGS, precond_lag=lag)
-        extra["classic_3d_cantilever_256x128x128"] = {
+        em.extra["classic_3d_cantilever_256x128x128"] = {
             "s_per_iter": round(s256, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
             "ref_basis": "c1001.log steady state (exact config match)",
             "speedup": round(REF_3D_256_S_PER_ITER / s256, 2),
             "compliance_at_measurement": round(c256, 2),
         }
-        headline_s, headline_ref = s256, REF_3D_256_S_PER_ITER
-        metric = ("3D cantilever_flexion 256x128x128 classic SIMP-OC "
-                  "(MGPCG mgl=5 tol=1e-4, fused Pallas stiffness, "
-                  "f64-refined), seconds per OC iteration")
-    else:
-        headline_s, headline_ref = s3d, REF_3D_192_S_PER_ITER
-        metric = ("3D cantilever_flexion 192x96x96 classic SIMP-OC (MGPCG "
-                  "mgl=3 tol=1e-4, fused Pallas stiffness), seconds per OC "
-                  "iteration")
-
-    result = {
-        "metric": metric,
-        "value": round(headline_s, 5),
-        "unit": "s/iter",
-        "vs_baseline": round(headline_ref / headline_s, 3),
-        "extra": extra,
-    }
-    print(json.dumps(result))
+        em.headline = (s256, REF_3D_256_S_PER_ITER, _METRIC_256)
+    em.emit()
 
 
 if __name__ == "__main__":

@@ -953,18 +953,41 @@ def apply_k_pallas_df_flat(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
 # every live range), so it stays opt-in ("flat") until retiled.
 import os as _os
 
-_FINE_IMPL = _os.environ.get("NDR_FINE_KERNEL", "flat32")
+# The flat df kernel exceeds the Mosaic compile + VMEM budget above this
+# many flattened trailing lanes (observed at 256x128x128: Rn = 129*129 →
+# compile >5 min, VMEM >100 MB from the TwoSum temporaries' doubled live
+# ranges) — requesting it at production sizes would hang exactly the A/B
+# a user runs, so it falls back with a warning (ADVICE r3).
+_FLAT_DF_MAX_RN = 64 * 1024
+
+
+def _fine_impl():
+    # read per call, not at import: A/B harnesses toggle NDR_FINE_KERNEL
+    # programmatically after import (ADVICE r3). The jitted callers trace
+    # through this at compile time; changing the env var only affects
+    # later traces, which is exactly the A/B use case.
+    return _os.environ.get("NDR_FINE_KERNEL", "flat32")
 
 
 def apply_k_pallas_fine(u, young, K0, grid: Grid, **kw):
-    if _FINE_IMPL in ("flat", "flat32"):
+    if _fine_impl() in ("flat", "flat32"):
         return apply_k_pallas_flat(u, young, K0, grid, **kw)
     return apply_k_pallas(u, young, K0, grid, **kw)
 
 
 def apply_k_pallas_df_fine(u_hi, u_lo, y_hi, y_lo, K0, grid: Grid, **kw):
-    if _FINE_IMPL == "flat":
-        return apply_k_pallas_df_flat(u_hi, u_lo, y_hi, y_lo, K0, grid, **kw)
+    if _fine_impl() == "flat":
+        rn = 1
+        for n in grid.nodes_per_dim[1:]:
+            rn *= n
+        if rn <= _FLAT_DF_MAX_RN:
+            return apply_k_pallas_df_flat(u_hi, u_lo, y_hi, y_lo, K0,
+                                          grid, **kw)
+        import warnings
+        warnings.warn(
+            f"NDR_FINE_KERNEL=flat: df kernel trailing size {rn} exceeds "
+            f"the known-good Mosaic budget ({_FLAT_DF_MAX_RN}); using the "
+            "variant-layout df kernel instead", stacklevel=2)
     return apply_k_pallas_df(u_hi, u_lo, y_hi, y_lo, K0, grid, **kw)
 
 

@@ -26,6 +26,10 @@ def main():
     p.add_argument("--fields", default=10, type=int)
     p.add_argument("--levels", default=3, type=int)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],
+                   help="force the fused Pallas stiffness apply (auto "
+                        "disables it below 2^17 elements, so the 64x32x32 "
+                        "production-config device sweep needs 'on')")
     args = p.parse_args()
 
     import jax
@@ -63,8 +67,10 @@ def main():
         prob = dataclasses.replace(prob, Emin=emin)
 
         # ground truth at tight tolerance
+        pallas = {"auto": "auto", "on": True, "off": False}[args.pallas]
         st_ref = mg.MGSolverSettings(num_levels=args.levels, cg_iter=400,
-                                     tol=1e-9, smoother="chebyshev")
+                                     tol=1e-9, smoother="chebyshev",
+                                     use_pallas=pallas)
         solve_ref = jax.jit(mg.make_mg_solver(prob, st_ref))
 
         for tol in (1e-2, 1e-4, 1e-6):
@@ -72,6 +78,7 @@ def main():
                 st = mg.MGSolverSettings(
                     num_levels=args.levels, cg_iter=400, tol=tol,
                     smoother="chebyshev", zero_init=not warm,
+                    use_pallas=pallas,
                 )
                 solve = jax.jit(mg.make_mg_solver(prob, st))
                 u_errs, c_errs, iters_all = [], [], []

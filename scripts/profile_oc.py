@@ -484,31 +484,34 @@ def main():
         kw = VARIANTS[base_name]
         _, prob_v, grid_v, _, top_v = build(args, settings_kw=kw)
         if args.scan > 0 and lag > 0:
-            # device-side loop with the hierarchy carried across steps;
-            # lax.cond rebuilds it on every lag-th step. Same scan-timed
-            # methodology as below.
-            K = args.scan
+            # Nested-scan lagged preconditioner: the OUTER scan body
+            # builds the hierarchy leaves once and the INNER scan runs
+            # `lag` OC steps against them as a loop-invariant. The
+            # leaves never enter a scan carry — the first formulation
+            # (carry + lax.cond rebuild) double-buffered the ~1.5 GB
+            # leaf set (level-1 cached Ke alone is 1.2 GB at 256-class)
+            # and died RESOURCE_EXHAUSTED on v5e 16 GB.
+            n_blocks = max(1, args.scan // lag)
+            K = n_blocks * lag
             solve_v = top_v.solve
 
             @jax.jit
-            def run_k_lag(s, leaves):
-                def body(carry, i):
-                    s, lv = carry
-                    lv = jax.lax.cond(
-                        i % lag == 0,
-                        lambda _: solve_v.build_precond(
-                            top_v.physical_density(s.x)),
-                        lambda l: l, lv)
-                    s, m = topopt.oc_step(top_v, s, precond=lv)
-                    return (s, lv), (m["compliance"], m["cg_iters"])
-                return jax.lax.scan(body, (s, leaves), jnp.arange(K))
+            def run_k_lag(s):
+                def block(s, _):
+                    leaves = solve_v.build_precond(
+                        top_v.physical_density(s.x))
+                    def body(s, _):
+                        s, m = topopt.oc_step(top_v, s, precond=leaves)
+                        return s, (m["compliance"], m["cg_iters"])
+                    return jax.lax.scan(body, s, None, length=lag)
+                s, ms = jax.lax.scan(block, s, None, length=n_blocks)
+                return s, jax.tree_util.tree_map(
+                    lambda a: a.reshape((K,) + a.shape[2:]), ms)
 
-            leaves0 = jax.jit(solve_v.build_precond)(
-                jax.jit(top_v.physical_density)(state.x))
-            (state_k, leaves_k), (cs, its) = run_k_lag(state, leaves0)
+            state_k, (cs, its) = run_k_lag(state)  # compile + warm
             _readback(cs)
             t0 = time.perf_counter()
-            (state_k, leaves_k), (cs, its) = run_k_lag(state_k, leaves_k)
+            state_k, (cs, its) = run_k_lag(state_k)
             _readback(cs)
             sec = (time.perf_counter() - t0) / K
             its_np = np.asarray(its)

@@ -161,3 +161,48 @@ def test_pallas_cached_apply_matches_xla(prob_path, dims, slab, ke_dtype):
     err = float(jnp.abs(f_pl - f_ref).max() / jnp.abs(f_ref).max())
     tol = 1e-5 if ke_dtype == jnp.float32 else 2e-2
     assert err < tol, err
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("NDR_TEST_TPU"),
+    reason="real-TPU smoke (set NDR_TEST_TPU=1 on a TPU host); covers the "
+           "Mosaic lowering branch (pltpu.roll i32 shifts) that "
+           "interpret-mode CI cannot reach (ADVICE r3)")
+def test_pallas_flat_apply_on_device_x64():
+    """Device smoke for the flat kernel's non-interpret branch under
+    jax_enable_x64: the roll shifts must lower as i32 (a bare Python int
+    lowers as i64 and tpu.dynamic_rotate rejects it — pallas_kernels.py
+    _flat_kernel_body roll()). Runs in a subprocess so the conftest's
+    CPU-forced backend in this process is untouched."""
+    import os
+    import subprocess
+    import sys
+
+    body = """
+import jax, numpy as np, jax.numpy as jnp
+from ndr_tpu.utils.jax_setup import setup
+setup()
+assert jax.devices()[0].platform != "cpu", jax.devices()
+from ndr_tpu.fem import operators as ops
+from ndr_tpu.fem import pallas_kernels as pk
+from ndr_tpu.fem.simulator import problem_from_config
+from ndr_tpu.io.problem import load_problem
+cfg = load_problem("problems/3d/cantilever_flexion.json")
+prob, grid = problem_from_config(cfg, dims=(16, 8, 8), dtype=jnp.float32)
+rng = np.random.default_rng(0)
+young = prob.young(jnp.asarray(rng.uniform(0.1, 1.0, grid.dims), jnp.float32))
+u = jnp.asarray(rng.standard_normal(grid.nodes_per_dim + (grid.ndim,)),
+                jnp.float32)
+f_ref = ops.apply_k(u, young, prob.K0, grid)
+f_pl = pk.apply_k_pallas_flat(u, young, np.asarray(prob.K0), grid)
+err = float(jnp.abs(f_pl - f_ref).max() / jnp.abs(f_ref).max())
+assert err < 1e-5, err
+print("device flat kernel OK", err)
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the TPU plugin claim the backend
+    proc = subprocess.run([sys.executable, "-c", body], cwd=os.getcwd(),
+                          env=env, capture_output=True, text=True,
+                          timeout=600)
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
