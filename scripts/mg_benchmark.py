@@ -73,6 +73,17 @@ def main():
                                      use_pallas=pallas)
         solve_ref = jax.jit(mg.make_mg_solver(prob, st_ref))
 
+        # ground truth once per (Emin, field) — the 6 (tol, warm) sweep
+        # configs below reuse it (the 100-field device sweep would
+        # otherwise re-run 1800 tol=1e-9 reference solves)
+        u_refs, c_refs = [], []
+        for f in fields:
+            rho = jnp.asarray(f, jnp.float32)
+            u_ref, _ = solve_ref(rho, None)
+            u_refs.append(u_ref)
+            c_refs.append(float(jnp.vdot(prob.force.astype(u_ref.dtype),
+                                         u_ref)))
+
         for tol in (1e-2, 1e-4, 1e-6):
             for warm in (False, True):
                 st = mg.MGSolverSettings(
@@ -83,13 +94,11 @@ def main():
                 solve = jax.jit(mg.make_mg_solver(prob, st))
                 u_errs, c_errs, iters_all = [], [], []
                 u_prev = None
-                for f in fields:
+                for f, u_ref, c_ref in zip(fields, u_refs, c_refs):
                     rho = jnp.asarray(f, jnp.float32)
-                    u_ref, _ = solve_ref(rho, None)
                     u, it = solve(rho, u_prev if warm else None)
                     if warm:
                         u_prev = u
-                    c_ref = float(jnp.vdot(prob.force.astype(u_ref.dtype), u_ref))
                     c = float(jnp.vdot(prob.force.astype(u.dtype), u))
                     u_errs.append(
                         float(jnp.linalg.norm((u - u_ref).reshape(-1))

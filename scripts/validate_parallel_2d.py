@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, ".")
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# unconditional: the ambient environment presets JAX_PLATFORMS=axon (the
+# TPU plugin), but this is a virtual-device CPU validation — it must never
+# land on (and block) the real chip
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
