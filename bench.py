@@ -278,11 +278,13 @@ def main():
         # n=30 matches the profiler's scan-of-30 program shape so the
         # persistent compile cache built by scripts/profile_oc.py --scan
         # is reused (a fresh scan length would recompile ~10 min cold).
-        # precond_lag=8: hierarchy + coarsest factor rebuilt every 8 OC
+        # precond_lag=4: hierarchy + coarsest factor rebuilt every 4 OC
         # steps (the CG operator stays exact — solves land on the same
-        # trajectory; logs/c256_lag8_prefix.log pins compliance parity).
+        # trajectory). Chosen by the on-device A/B logs/profile_oc_256_
+        # lag.json: base 357.9 ms, lag4 292.5 ms (cg max 2), lag8 333.8
+        # (staleness pushes cg to 5), lag16 859 (cg pinned at 20).
         # NDR_BENCH_LAG=0 restores the rebuild-every-step baseline.
-        lag = int(os.environ.get("NDR_BENCH_LAG", "8"))
+        lag = int(os.environ.get("NDR_BENCH_LAG", "4"))
         s256, c256 = _classic_bench(
             "problems/3d/cantilever_flexion.json", (256, 128, 128), 5,
             warm=5, n=30, settings_kw=BEST_256_SETTINGS, precond_lag=lag)

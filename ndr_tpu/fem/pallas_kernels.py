@@ -954,11 +954,13 @@ def apply_k_pallas_df_flat(u_hi, u_lo, young_hi, young_lo, K0, grid: Grid,
 import os as _os
 
 # The flat df kernel exceeds the Mosaic compile + VMEM budget above this
-# many flattened trailing lanes (observed at 256x128x128: Rn = 129*129 →
-# compile >5 min, VMEM >100 MB from the TwoSum temporaries' doubled live
-# ranges) — requesting it at production sizes would hang exactly the A/B
-# a user runs, so it falls back with a warning (ADVICE r3).
-_FLAT_DF_MAX_RN = 64 * 1024
+# many flattened trailing lanes (observed at 256x128x128: Rn = 129*129 =
+# 16641 → compile >5 min, VMEM >100 MB from the TwoSum temporaries'
+# doubled live ranges) — requesting it at production sizes would hang
+# exactly the A/B a user runs, so it falls back with a warning
+# (ADVICE r3). The bound sits just below the observed-bad 16641; the
+# 192-class Rn (97*97 = 9409) is the largest size the kernel has run at.
+_FLAT_DF_MAX_RN = 16000
 
 
 def _fine_impl():
