@@ -1109,6 +1109,16 @@ class MGSolverSettings:
     # costs ~70-80 ms/step on v5e at a 675-dof coarsest level), or
     # "auto" = ns for float32 hierarchies, cholesky for float64.
     coarse_solver: str = "auto"
+    # Under a lagged preconditioner (solve(..., precond=leaves)), rebuild
+    # level-0's density-dependent smoother state (young, Minv_rows, Dinv)
+    # from the CURRENT density every solve — one node_diag_blocks conv +
+    # 3x3 block inverts, ~6 ms at 4.19M voxels vs the ~115 ms full
+    # rebuild. The fine level is where OC's per-step density moves bite
+    # the smoother hardest (level-l Galerkin entries average 8^l
+    # elements), so this keeps the stale-hierarchy CG-iteration penalty
+    # near zero at larger lag intervals. "transfer"-kind level 1 applies
+    # R K_fine P and is refreshed transitively through the parent link.
+    precond_refresh_fine: bool = True
 
 
 def _resolve_coarse_solver(settings: "MGSolverSettings",
@@ -1116,6 +1126,27 @@ def _resolve_coarse_solver(settings: "MGSolverSettings",
     if settings.coarse_solver != "auto":
         return settings.coarse_solver
     return "ns" if levels[-1].Ke.dtype == jnp.float32 else "cholesky"
+
+
+def _refresh_fine_level(cfg: MGConfig, levels: List[LevelState],
+                        young: jnp.ndarray) -> List[LevelState]:
+    """Rebuild level-0's density-dependent smoother state from the
+    CURRENT density inside a lagged-preconditioner solve (see
+    MGSolverSettings.precond_refresh_fine). Coarse Galerkin Ke /
+    Minv / the coarsest factor keep their lagged values."""
+    lv0 = levels[0]
+    M0 = ops.node_diag_blocks(young, cfg.K0, lv0.grid)
+    kw = dict(young=young, Minv_rows=M0)
+    if lv0.Dinv is not None:
+        kw["Dinv"] = ops.invert_blocks(M0)
+    out = [dataclasses.replace(lv0, **kw)]
+    for lv in levels[1:]:
+        # rewire the parent chain so "transfer"-kind applies (R K_parent P)
+        # reach the refreshed fine level
+        if lv.parent is not None:
+            lv = dataclasses.replace(lv, parent=out[-1])
+        out.append(lv)
+    return out
 
 
 def _use_refined(prob: FEMProblem, settings: MGSolverSettings) -> bool:
@@ -1165,7 +1196,11 @@ def mgpcg_solve(
         lv0_op = levels[0]
     else:
         levels, _pchol = precond_state
-        lv0_op = dataclasses.replace(levels[0], young=young)
+        if settings.precond_refresh_fine:
+            levels = _refresh_fine_level(cfg, levels, young)
+            lv0_op = levels[0]
+        else:
+            lv0_op = dataclasses.replace(levels[0], young=young)
 
     def apply_a(u):
         return _zero_dirichlet(lv0_op, _apply_k_level(lv0_op, _zero_dirichlet(lv0_op, u)))
@@ -1235,7 +1270,11 @@ def _mgpcg_solve_refined(
         lv0 = levels[0]
     else:
         levels, _pchol = precond_state
-        lv0 = dataclasses.replace(levels[0], young=young32)
+        if settings.precond_refresh_fine:
+            levels = _refresh_fine_level(cfg, levels, young32)
+            lv0 = levels[0]
+        else:
+            lv0 = dataclasses.replace(levels[0], young=young32)
 
     K0_64 = jnp.asarray(np.asarray(cfg.K0), f64)
     young64 = ops.element_young_modulus(

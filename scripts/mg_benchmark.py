@@ -30,9 +30,16 @@ def main():
                    help="force the fused Pallas stiffness apply (auto "
                         "disables it below 2^17 elements, so the 64x32x32 "
                         "production-config device sweep needs 'on')")
+    p.add_argument("--refined", action="store_true",
+                   help="run the sweep solves through the PRODUCTION "
+                        "mixed-precision path (fp32 MGPCG inside float64 "
+                        "iterative refinement; enables x64). Ground truth "
+                        "stays the tight-tol solve.")
     args = p.parse_args()
 
     import jax
+    if args.refined:
+        jax.config.update("jax_enable_x64", True)
     from ndr_tpu.utils.jax_setup import setup
     setup()
     if args.cpu:
@@ -90,6 +97,7 @@ def main():
                     num_levels=args.levels, cg_iter=400, tol=tol,
                     smoother="chebyshev", zero_init=not warm,
                     use_pallas=pallas,
+                    mixed_precision=args.refined,
                 )
                 solve = jax.jit(mg.make_mg_solver(prob, st))
                 u_errs, c_errs, iters_all = [], [], []
