@@ -214,6 +214,9 @@ def main():
             "compliance": round(2 * last_c, 4)}
         print(f"{'variant_' + name:26s} {sec * 1e3:10.2f} ms/step "
               f"(cg {int(vm['cg_iters'])})", flush=True)
+        if args.out:  # incremental: a killed run keeps finished variants
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
         del vstate, vstep, vaux
 
     print(json.dumps(results, indent=1), flush=True)

@@ -473,6 +473,14 @@ def main():
         "prod_gs_cho": dict(lmax_power_iters=0, smoother="gs",
                             coarse_solver="cholesky"),
     }
+    def _checkpoint_out():
+        # Incremental write: a killed run (session death, TPU worker
+        # crash) keeps every variant that finished instead of losing
+        # the whole A/B (this exact failure lost the first lagrf run).
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+
     for name in [v for v in args.variants.split(",") if v]:
         # "<base>_lagN": base variant + lagged preconditioner rebuilt
         # every N steps (multigrid.build_precond / oc_step precond=)
@@ -524,6 +532,7 @@ def main():
             print(f"{'variant_' + name:24s} {sec * 1e3:10.2f} ms/step "
                   f"(scan {K}, cg last {int(its_np[-1])} "
                   f"max {int(its_np.max())})", flush=True)
+            _checkpoint_out()
         elif args.scan > 0:
             # device-side loop: one dispatch runs `scan` full OC steps,
             # so per-dispatch tunnel latency (~100 ms at 4M voxels, and
@@ -556,6 +565,7 @@ def main():
             }
             print(f"{'variant_' + name:24s} {sec * 1e3:10.2f} ms/step "
                   f"(scan {K}, cg {int(np.asarray(its)[-1])})", flush=True)
+            _checkpoint_out()
         else:
             state_v, step_v, metrics_v = warm_state(
                 top_v, cfg, grid_v, prob_v, args.warm)
@@ -565,6 +575,7 @@ def main():
                 "cg_iters": int(metrics_v["cg_iters"]),
                 "compliance": round(2 * float(metrics_v["compliance"]), 4),
             })
+            _checkpoint_out()
 
     print(json.dumps(results, indent=1), flush=True)
     if args.out:
