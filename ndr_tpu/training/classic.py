@@ -59,6 +59,7 @@ def ground_truth_topopt(
     dtype=None,
     shards: int = 0,
     precond_lag: int = 0,
+    scan_chunk: int = 0,
 ) -> ClassicResult:
     """Run classic SIMP TO with the OC optimizer.
 
@@ -221,9 +222,77 @@ def ground_truth_topopt(
             step = jax.jit(
                 lambda s: topopt.oc_step(top, s, m=oc_move, ctol=oc_ctol),
                 donate_argnums=0)
+
+        # Device-side chunked loop (--scan): one dispatch runs
+        # `scan_chunk` OC steps as a lax.scan, so the ~0.1-0.2 s
+        # per-dispatch latency through the axon tunnel amortizes away
+        # (round-2 c256_full.log: 0.56 s/step host-looped vs 0.385
+        # scan-timed for the same program). With precond_lag > 1 the
+        # chunk is a nested scan — the outer body builds the hierarchy
+        # leaves, the inner scan runs `lag` steps against them as a
+        # loop-invariant (leaves must NOT ride a carry: double-buffering
+        # the ~1.5 GB leaf set exhausts v5e HBM). The adaptive
+        # rebuild-on-cg-jump escape hatch of the host-loop path cannot
+        # run inside scan; the fixed lag relies on precond_refresh_fine
+        # holding cg_iters flat (device A/B logs/profile_oc_256_lagrf.*).
+        # snapshot_cb/callback only see chunk-boundary states.
+        run_chunk = None
+        chunk = 0
+        if scan_chunk > 1 and hasattr(solve, "cfg"):
+            _lag = precond_lag if (precond_lag > 1
+                                   and hasattr(solve, "build_precond")) else 0
+            chunk = (max(1, scan_chunk // _lag) * _lag if _lag
+                     else scan_chunk)
+
+            def _chunk_fn(p, masks, s):
+                def body(s, leaves):
+                    def one(s, _):
+                        s, m = _step_fn(p, masks, s, leaves)
+                        return s, (m["compliance"], m["constraint"],
+                                   m["lambda"], m["cg_iters"])
+                    return jax.lax.scan(one, s, None,
+                                        length=_lag or chunk)
+                if _lag:
+                    def block(s, _):
+                        leaves = solve.build_precond(
+                            top.physical_density(s.x), prob=p, masks=masks)
+                        return body(s, leaves)
+                    s, ms = jax.lax.scan(block, s, None,
+                                         length=chunk // _lag)
+                    ms = jax.tree_util.tree_map(
+                        lambda a: a.reshape((chunk,) + a.shape[2:]), ms)
+                else:
+                    s, ms = body(s, None)
+                return s, ms
+
+            run_chunk = jax.jit(_chunk_fn, donate_argnums=2)
+
         t_iter = t_start
         with timers.section("OC optimization"):
-            for idx in range(max_iter):
+            idx = 0
+            while run_chunk is not None and idx + chunk <= max_iter:
+                state, ms = run_chunk(prob, masks_op, state)
+                cs, cons, lams, its = (np.asarray(a) for a in ms)
+                dt = (time.perf_counter() - t_iter) / chunk
+                for j in range(chunk):
+                    i = idx + j
+                    history.append(2.0 * float(cs[j]))
+                    if i % log_every == 0 or i == max_iter - 1:
+                        log(
+                            f"Total Steps: {i}, Runtime: {dt:.2f}, "
+                            f"Compliance loss {2.0 * float(cs[j]):.6f}, "
+                            f"constraint {float(cons[j]):.2e}, "
+                            f"lambda {float(lams[j]):.4g}, "
+                            f"cg_iters {int(its[j])}\n"
+                        )
+                idx += chunk
+                t_iter = time.perf_counter()
+                if callback is not None:
+                    callback(idx - 1, state)
+                if snapshot_cb is not None:
+                    snapshot_cb(idx - 1, state,
+                                lambda s=state: top.physical_density(s.x))
+            for idx in range(idx, max_iter):
                 state, metrics = step(state)
                 c2 = 2.0 * float(metrics["compliance"])
                 history.append(c2)

@@ -53,6 +53,12 @@ def main(argv=None):
                    help="rebuild the MG hierarchy every K OC steps instead "
                         "of every step (preconditioner-only staleness; the "
                         "CG operator stays exact). 0/1 = rebuild each step")
+    p.add_argument("--scan", default=0, type=int,
+                   help="device-side chunked loop: run this many OC steps "
+                        "per dispatch as a lax.scan (amortizes the per-"
+                        "dispatch tunnel latency, ~0.1-0.2 s at 4M voxels; "
+                        "rounded down to a multiple of --precond-lag). "
+                        "Interim snapshots only land on chunk boundaries.")
     args = p.parse_args(argv)
 
     import jax
@@ -102,6 +108,7 @@ def main(argv=None):
         shards=(tuple(int(s) for s in args.shards.split(","))
                 if "," in args.shards else int(args.shards)),
         precond_lag=args.precond_lag,
+        scan_chunk=args.scan,
     )
     np.save(os.path.join(args.out, f"{title}_densities.npy"), result.densities)
     export.write_vtr(
