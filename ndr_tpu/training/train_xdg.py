@@ -54,6 +54,12 @@ def main(argv=None):
                    choices=["default", "high", "highest"],
                    help="hidden-layer matmul precision of the MLP "
                         "(default: NeuralTOConfig's)")
+    p.add_argument("--scan", default=0, type=int,
+                   help="device-side chunked loop: run this many training "
+                        "steps per dispatch as a lax.scan (amortizes the "
+                        "per-step host sync + tunnel latency). Static-"
+                        "filter runs only; ignored when --af is set. "
+                        "Checkpoints land on chunk boundaries.")
     # multiresolution curriculum (reference: train_xdg.py:119 + :234-238 —
     # the shipped config is single-resolution: interval=0, start=0, end=1,
     # order='ftc', repeat 1; these flags expose the full loop)
@@ -190,13 +196,14 @@ def main(argv=None):
             cfg, ncfg, dims, deltas, epoch_sizes,
             log_every=args.log_every, filters=filters,
             filters_init=filters_init, checkpoint_cb=checkpoint_cb,
-            dtype=dtype,
+            dtype=dtype, scan_chunk=args.scan,
         )
     else:
         state, history, aux = train(
             cfg, ncfg, dims=dims, max_iter=args.iter,
             log_every=args.log_every, checkpoint_cb=checkpoint_cb,
             state=resume_state, filters=filters, dtype=dtype,
+            scan_chunk=args.scan,
         )
 
     # final artifacts: density field + history + final checkpoint
