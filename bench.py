@@ -275,19 +275,21 @@ def main():
             f"skipped: {elapsed:.0f}s elapsed of {budget:.0f}s budget "
             "leaves no room for a cold 256-class compile")
     else:
-        # n=30 matches the profiler's scan-of-30 program shape so the
+        # n=32 matches the profiler's scan-of-32 program shape so the
         # persistent compile cache built by scripts/profile_oc.py --scan
         # is reused (a fresh scan length would recompile ~10 min cold).
-        # precond_lag=4: hierarchy + coarsest factor rebuilt every 4 OC
+        # precond_lag=8: hierarchy + coarsest factor rebuilt every 8 OC
         # steps (the CG operator stays exact — solves land on the same
-        # trajectory). Chosen by the on-device A/B logs/profile_oc_256_
-        # lag.json: base 357.9 ms, lag4 292.5 ms (cg max 2), lag8 333.8
-        # (staleness pushes cg to 5), lag16 859 (cg pinned at 20).
+        # trajectory), with precond_refresh_fine rebuilding the fine-
+        # level smoother state every step. Chosen by the on-device A/B
+        # logs/profile_oc_256_lagrf.{log,json}: base 355.97 ms, lag4
+        # 291.24, lag8 280.49 with cg_iters pinned at 1 (without the
+        # fine refresh lag8 went stale: 333.8 ms at cg 5, lag.json).
         # NDR_BENCH_LAG=0 restores the rebuild-every-step baseline.
-        lag = int(os.environ.get("NDR_BENCH_LAG", "4"))
+        lag = int(os.environ.get("NDR_BENCH_LAG", "8"))
         s256, c256 = _classic_bench(
             "problems/3d/cantilever_flexion.json", (256, 128, 128), 5,
-            warm=5, n=30, settings_kw=BEST_256_SETTINGS, precond_lag=lag)
+            warm=5, n=32, settings_kw=BEST_256_SETTINGS, precond_lag=lag)
         em.extra["classic_3d_cantilever_256x128x128"] = {
             "s_per_iter": round(s256, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
             "ref_basis": "c1001.log steady state (exact config match)",
