@@ -201,12 +201,29 @@ class _Emitter:
         signal.signal(signal.SIGTERM, self._on_term)
 
     def emit(self):
-        if self.headline is None:
+        if self.headline is not None:
+            s, ref, metric = self.headline
+            print(json.dumps({
+                "metric": metric, "value": round(s, 5), "unit": "s/iter",
+                "vs_baseline": round(ref / s, 3), "extra": self.extra,
+            }), flush=True)
             return
-        s, ref, metric = self.headline
+        # No classic stage has finished yet. Fall back to any finished
+        # sub-benchmark (e.g. neural when the classic stages hit a TPU
+        # worker fault) so the driver never records parsed=null when
+        # SOMETHING measured; emit an explicit error line as last resort.
+        for key in ("neural_3d_bridge_64x32x16",):
+            sub = self.extra.get(key)
+            if isinstance(sub, dict) and "s_per_iter" in sub:
+                print(json.dumps({
+                    "metric": f"{key} (fallback headline), seconds per iteration",
+                    "value": sub["s_per_iter"], "unit": "s/iter",
+                    "vs_baseline": sub["speedup"], "extra": self.extra,
+                }), flush=True)
+                return
         print(json.dumps({
-            "metric": metric, "value": round(s, 5), "unit": "s/iter",
-            "vs_baseline": round(ref / s, 3), "extra": self.extra,
+            "metric": "no sub-benchmark completed", "value": None,
+            "unit": "s/iter", "vs_baseline": None, "extra": self.extra,
         }), flush=True)
 
     def _on_term(self, signum, frame):
@@ -227,37 +244,57 @@ def main():
     em = _Emitter()
     em.extra["device"] = str(jax.devices()[0])
 
-    s2d, c2d = _classic_bench("problems/2d/mbb_beam.json", None, 2,
-                              warm=10, n=50)
-    em.extra["classic_2d_mbb_300x100"] = {
-        "s_per_iter": round(s2d, 5), "ref_s_per_iter": round(REF_2D_S_PER_ITER, 4),
-        "speedup": round(REF_2D_S_PER_ITER / s2d, 2),
-        "compliance_at_measurement": round(c2d, 2),
-    }
-    em.headline = (s2d, REF_2D_S_PER_ITER,
-                   "2D MBB 300x100 classic SIMP-OC, seconds per OC iteration")
-    em.emit()
+    def _stage(key, fn):
+        """Run one sub-benchmark, absorbing device faults: an axon TPU
+        worker crash (JaxRuntimeError UNAVAILABLE — observed repeatedly
+        on 2026-08-19) in one stage must not erase the stages that
+        already finished or stop the later ones from being attempted."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — record and move on
+            em.extra[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            em.emit()
+            return None
 
-    s3d, c3d = _classic_bench("problems/3d/cantilever_flexion.json",
-                              (192, 96, 96), 3, warm=5, n=20)
-    em.extra["classic_3d_cantilever_192x96x96"] = {
-        "s_per_iter": round(s3d, 5),
-        "ref_s_per_iter": round(REF_3D_192_S_PER_ITER, 4),
-        "ref_basis": "per-voxel extrapolation of c1001.log (2.8 s/iter at 4.19M voxels)",
-        "speedup": round(REF_3D_192_S_PER_ITER / s3d, 2),
-        "compliance_at_measurement": round(c3d, 2),
-    }
-    em.headline = (s3d, REF_3D_192_S_PER_ITER, _METRIC_192)
-    em.emit()
+    r = _stage("classic_2d_mbb_300x100",
+               lambda: _classic_bench("problems/2d/mbb_beam.json", None, 2,
+                                      warm=10, n=50))
+    if r:
+        s2d, c2d = r
+        em.extra["classic_2d_mbb_300x100"] = {
+            "s_per_iter": round(s2d, 5), "ref_s_per_iter": round(REF_2D_S_PER_ITER, 4),
+            "speedup": round(REF_2D_S_PER_ITER / s2d, 2),
+            "compliance_at_measurement": round(c2d, 2),
+        }
+        em.headline = (s2d, REF_2D_S_PER_ITER,
+                       "2D MBB 300x100 classic SIMP-OC, seconds per OC iteration")
+        em.emit()
 
-    sn, cn = _neural_bench()
-    em.extra["neural_3d_bridge_64x32x16"] = {
-        "s_per_iter": round(sn, 5), "ref_s_per_iter": round(REF_NEURAL64_S_PER_ITER, 4),
-        "speedup": round(REF_NEURAL64_S_PER_ITER / sn, 2),
-        "compliance_at_measurement": round(cn, 2),
-        "note": "steady-state after 40 hardening steps (it/s from init is ~2.5x higher)",
-    }
-    em.emit()
+    r = _stage("classic_3d_cantilever_192x96x96",
+               lambda: _classic_bench("problems/3d/cantilever_flexion.json",
+                                      (192, 96, 96), 3, warm=5, n=20))
+    if r:
+        s3d, c3d = r
+        em.extra["classic_3d_cantilever_192x96x96"] = {
+            "s_per_iter": round(s3d, 5),
+            "ref_s_per_iter": round(REF_3D_192_S_PER_ITER, 4),
+            "ref_basis": "per-voxel extrapolation of c1001.log (2.8 s/iter at 4.19M voxels)",
+            "speedup": round(REF_3D_192_S_PER_ITER / s3d, 2),
+            "compliance_at_measurement": round(c3d, 2),
+        }
+        em.headline = (s3d, REF_3D_192_S_PER_ITER, _METRIC_192)
+        em.emit()
+
+    r = _stage("neural_3d_bridge_64x32x16", _neural_bench)
+    if r:
+        sn, cn = r
+        em.extra["neural_3d_bridge_64x32x16"] = {
+            "s_per_iter": round(sn, 5), "ref_s_per_iter": round(REF_NEURAL64_S_PER_ITER, 4),
+            "speedup": round(REF_NEURAL64_S_PER_ITER / sn, 2),
+            "compliance_at_measurement": round(cn, 2),
+            "note": "steady-state after 40 hardening steps (it/s from init is ~2.5x higher)",
+        }
+        em.emit()
 
     # Headline: the exact-config 4.19M-voxel run of the reference's
     # c1001.log (2.8 s/iter on its 128-CPU production node). Apples to
@@ -287,16 +324,20 @@ def main():
         # fine refresh lag8 went stale: 333.8 ms at cg 5, lag.json).
         # NDR_BENCH_LAG=0 restores the rebuild-every-step baseline.
         lag = int(os.environ.get("NDR_BENCH_LAG", "8"))
-        s256, c256 = _classic_bench(
-            "problems/3d/cantilever_flexion.json", (256, 128, 128), 5,
-            warm=5, n=32, settings_kw=BEST_256_SETTINGS, precond_lag=lag)
-        em.extra["classic_3d_cantilever_256x128x128"] = {
-            "s_per_iter": round(s256, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
-            "ref_basis": "c1001.log steady state (exact config match)",
-            "speedup": round(REF_3D_256_S_PER_ITER / s256, 2),
-            "compliance_at_measurement": round(c256, 2),
-        }
-        em.headline = (s256, REF_3D_256_S_PER_ITER, _METRIC_256)
+        r = _stage("classic_3d_cantilever_256x128x128",
+                   lambda: _classic_bench(
+                       "problems/3d/cantilever_flexion.json", (256, 128, 128),
+                       5, warm=5, n=32, settings_kw=BEST_256_SETTINGS,
+                       precond_lag=lag))
+        if r:
+            s256, c256 = r
+            em.extra["classic_3d_cantilever_256x128x128"] = {
+                "s_per_iter": round(s256, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
+                "ref_basis": "c1001.log steady state (exact config match)",
+                "speedup": round(REF_3D_256_S_PER_ITER / s256, 2),
+                "compliance_at_measurement": round(c256, 2),
+            }
+            em.headline = (s256, REF_3D_256_S_PER_ITER, _METRIC_256)
     em.emit()
 
 
