@@ -118,6 +118,27 @@ def test_classic_precond_lag_matches_fresh_rebuild():
                                rtol=1e-4)
 
 
+def test_classic_scan_chunk_matches_host_loop():
+    """--scan (device-side lax.scan chunked OC loop) runs the same
+    oc_step program as the host loop, batched: trajectories must match
+    to float tolerance, with and without the lagged preconditioner
+    (classic.py _chunk_fn nested-scan wiring — the production
+    256x128x128 configuration is scan=32 + lag=8)."""
+    cfg = load_problem("problems/3d/cantilever_flexion.json")
+    kw = dict(dims=(8, 4, 4), max_iter=8, multigrid_levels=1, tol=1e-8,
+              log=lambda s: None)
+    host = ground_truth_topopt(cfg, **kw)
+    scanned = ground_truth_topopt(cfg, scan_chunk=4, **kw)
+    np.testing.assert_allclose(scanned.history, host.history, rtol=1e-5)
+    np.testing.assert_allclose(scanned.compliance, host.compliance,
+                               rtol=1e-5)
+
+    lag_scan = ground_truth_topopt(cfg, scan_chunk=4, precond_lag=2, **kw)
+    np.testing.assert_allclose(lag_scan.history, host.history, rtol=1e-4)
+    np.testing.assert_allclose(lag_scan.compliance, host.compliance,
+                               rtol=1e-4)
+
+
 def test_neural_adaptive_filtering_schedule():
     """Adaptive filtering enters the jitted step as dynamic (beta, sigma)
     operands + static stencil sizes, and the schedule updates per step
