@@ -87,6 +87,11 @@ def main():
                         "matmuls), cheb1, mlpfast_cheb1")
     p.add_argument("--scan", type=int, default=20,
                    help="steps per dispatch for --variants timing")
+    p.add_argument("--skip-phases", action="store_true",
+                   help="skip the per-phase section and go straight to "
+                        "--variants (crash isolation: the axon worker "
+                        "has been observed to die mid-run, and one "
+                        "process per variant loses the least work)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -98,11 +103,28 @@ def main():
         sigma=args.sigma, multigrid_levels=args.mgl,
         volume_constraint_satisfier="constrained_sigmoid", seed=cfg.seed,
     )
+    results = {"dims": args.dims, "sigma": args.sigma,
+               "device": str(jax.devices()[0])}
+    if args.out:
+        # merge into an existing out file so per-variant retry processes
+        # accumulate into one artifact instead of clobbering each other
+        import os
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    prior = json.load(f)
+                prior.update(results)
+                results = prior
+            except (json.JSONDecodeError, OSError):
+                pass
+
+    if args.skip_phases:
+        _run_variants(args, cfg, ncfg, dims, results)
+        return
+
     state, train_step, aux = build_trainer(cfg, ncfg, dims=dims)
     prob, coords, solve = aux["prob"], aux["coords"], aux["solve"]
     mlp_cfg, density_fn = aux["mlp_cfg"], aux["density_fn"]
-    results = {"dims": args.dims, "sigma": args.sigma,
-               "device": str(jax.devices()[0])}
 
     t0 = time.perf_counter()
     state, metrics = train_step(state)
@@ -179,13 +201,19 @@ def main():
     timeit(sfn, (rho_fixed, u_fixed), max(args.reps // 2, 3),
            "solve", results)
 
-    # ---- full-step variants (fresh trainer per variant, scan-timed) ----
-    VARIANTS = {
-        "base": {},
-        "mlpfast": {"matmul_precision": "default"},
-        "cheb1": {"cheb_degree": 1},
-        "mlpfast_cheb1": {"matmul_precision": "default", "cheb_degree": 1},
-    }
+    _run_variants(args, cfg, ncfg, dims, results)
+
+
+# full-step variants (fresh trainer per variant, scan-timed)
+VARIANTS = {
+    "base": {},
+    "mlpfast": {"matmul_precision": "default"},
+    "cheb1": {"cheb_degree": 1},
+    "mlpfast_cheb1": {"matmul_precision": "default", "cheb_degree": 1},
+}
+
+
+def _run_variants(args, cfg, ncfg, dims, results):
     for name in [v for v in args.variants.split(",") if v]:
         vcfg = dataclasses.replace(ncfg, **VARIANTS[name])
         vstate, vstep, vaux = build_trainer(cfg, vcfg, dims=dims)
