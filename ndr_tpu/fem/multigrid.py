@@ -1121,11 +1121,25 @@ class MGSolverSettings:
     precond_refresh_fine: bool = True
 
 
+# "auto" coarse-solver size gate: Newton-Schulz costs ~30 dense n^3
+# matmul pairs at HIGHEST precision per hierarchy (re)build, so it only
+# beats the ~70-80 ms serial cho_factor when the coarsest system is
+# small. At the 256-class production point (675 DoFs) the NS build is
+# ~1-2 ms; at the 2D MBB mgl=2 coarsest (3,952 DoFs) it is ~0.2 s —
+# rebuilt EVERY OC step this regressed the 2D bench 14x (BENCH_r04,
+# VERDICT r4 weak-2). Gate chosen between those operating points.
+NS_AUTO_MAX_DOFS = 1536
+
+
 def _resolve_coarse_solver(settings: "MGSolverSettings",
                            levels: List[LevelState]) -> str:
     if settings.coarse_solver != "auto":
         return settings.coarse_solver
-    return "ns" if levels[-1].Ke.dtype == jnp.float32 else "cholesky"
+    if levels[-1].Ke.dtype != jnp.float32:
+        return "cholesky"
+    lv = levels[-1]
+    ndofs = lv.grid.num_nodes * lv.grid.ndim
+    return "ns" if ndofs <= NS_AUTO_MAX_DOFS else "cholesky"
 
 
 def _refresh_fine_level(cfg: MGConfig, levels: List[LevelState],

@@ -70,6 +70,20 @@ class NeuralTOConfig:
     # (1-pass bf16) halves the nn fwd+bwd cost vs "high" at 192^3 (455 ->
     # 243 ms measured); the Fourier encode stays high-precision either way
     matmul_precision: str = "high"
+    # power-iteration budget for the Chebyshev lambda_max estimate; 0 =
+    # bound-only (trace-time constant — sheds the per-rebuild power
+    # applies; iteration-neutral at production scale, see
+    # MGSolverSettings.lmax_power_iters)
+    lmax_power_iters: int = 0
+    # Lagged preconditioner (classic production lever, VERDICT r4 next-4):
+    # rebuild the MG hierarchy + coarsest factor every `precond_lag`
+    # training steps instead of every step; the CG operator stays exact
+    # (solves land on the same trajectory) and the fine-level smoother
+    # state refreshes every solve (MGSolverSettings.precond_refresh_fine).
+    # 0/1 = rebuild every step (reference semantics). Only honored on the
+    # static-filter path (adaptive filters mutate the density operator
+    # per step anyway).
+    precond_lag: int = 0
 
 
 @dataclasses.dataclass
@@ -151,6 +165,7 @@ def build_trainer(
         zero_init=False,
         smoother=ncfg.smoother,
         cheb_degree=ncfg.cheb_degree,
+        lmax_power_iters=ncfg.lmax_power_iters,
     )
     solve = mg.make_mg_solver(prob, settings)
 
@@ -162,14 +177,14 @@ def build_trainer(
     max_volume = jnp.asarray(cfg.max_volume, dtype)
 
     def loss_fn(params, buffers, u0, coords_op, fdyn, fstatic,
-                prob_op, masks_op):
+                prob_op, masks_op, precond_op=None):
         rho = density_fn(params, buffers, coords_op, max_volume, fdyn, fstatic)
         # sever rho -> solve for AD: the compliance adjoint (self-adjoint
         # problem) carries the full gradient, so linearizing through the
         # MGPCG loop is pure waste — and the Pallas stiffness kernel has
         # no JVP rule anyway
         u, iters = solve(jax.lax.stop_gradient(rho), u0,
-                         prob=prob_op, masks=masks_op)
+                         prob=prob_op, masks=masks_op, precond=precond_op)
         u = jax.lax.stop_gradient(u)
         c = 2.0 * topopt.compliance_with_adjoint(rho, u, prob_op)
         loss = c
@@ -198,11 +213,11 @@ def build_trainer(
         # remote TPU compile service at 192x96x96
         @functools.partial(jax.jit, donate_argnums=0)
         def train_step(state: NeuralTOState, coords_op, prob_op, masks_op,
-                       fdyn=(None, None)):
+                       fdyn=(None, None), precond_op=None):
             (loss, (c, u, iters)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.buffers, state.u, coords_op, fdyn,
-              fstatic, prob_op, masks_op)
+              fstatic, prob_op, masks_op, precond_op)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -222,9 +237,18 @@ def build_trainer(
                       for lev in solve.cfg.levels)
 
     def train_step(state: NeuralTOState, fdyn=(None, None),
-                   fstatic=(None, None)):
+                   fstatic=(None, None), precond=None):
         return make_step(tuple(fstatic))(state, coords_dev, prob_dev,
-                                         masks_dev, fdyn)
+                                         masks_dev, fdyn, precond)
+
+    def build_precond_from_state(state: NeuralTOState, fdyn=(None, None),
+                                 fstatic=(None, None)):
+        """Lagged-preconditioner leaves for the CURRENT network state
+        (jittable; used by the precond_lag training loops)."""
+        rho = density_fn(state.params, state.buffers, coords_dev,
+                         max_volume, fdyn, fstatic)
+        return solve.build_precond(jax.lax.stop_gradient(rho),
+                                   prob=prob_dev, masks=masks_dev)
 
     mixed = (
         settings.mixed_precision
@@ -241,6 +265,7 @@ def build_trainer(
     aux = dict(
         prob=prob, grid=grid, coords=coords, density_fn=density_fn,
         solve=solve, mlp_cfg=mlp_cfg, optimizer=optimizer,
+        build_precond_from_state=build_precond_from_state,
     )
     return state0, train_step, aux
 
@@ -281,13 +306,39 @@ def train(
     # host-side state between steps (reference train_xdg.py:299).
     # checkpoint_cb only sees chunk-boundary states.
     i = 0
+    lag = ncfg.precond_lag if filters is None else 0
     if scan_chunk > 1 and filters is None:
-        @functools.partial(jax.jit, donate_argnums=0)
-        def run_chunk(s):
-            def body(s, _):
-                s, m = train_step(s)
-                return s, (m["compliance"], m["loss"], m["cg_iters"])
-            return jax.lax.scan(body, s, None, length=scan_chunk)
+        if lag > 1:
+            # Lagged preconditioner as a nested scan (same program shape
+            # as training/classic.py's --precond-lag path): the outer
+            # body rebuilds the hierarchy leaves from the CURRENT network
+            # state once per `lag` steps; the inner scan runs `lag`
+            # training steps against them as a loop-invariant. The leaves
+            # must not ride a scan carry (double-buffers the leaf set).
+            n_blocks = max(1, scan_chunk // lag)
+            scan_chunk = n_blocks * lag
+            build_pc = aux["build_precond_from_state"]
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def run_chunk(s):
+                def block(s, _):
+                    leaves = build_pc(s)
+
+                    def body(s, _):
+                        s, m = train_step(s, precond=leaves)
+                        return s, (m["compliance"], m["loss"],
+                                   m["cg_iters"])
+                    return jax.lax.scan(body, s, None, length=lag)
+                s, ms = jax.lax.scan(block, s, None, length=n_blocks)
+                return s, jax.tree_util.tree_map(
+                    lambda a: a.reshape((scan_chunk,) + a.shape[2:]), ms)
+        else:
+            @functools.partial(jax.jit, donate_argnums=0)
+            def run_chunk(s):
+                def body(s, _):
+                    s, m = train_step(s)
+                    return s, (m["compliance"], m["loss"], m["cg_iters"])
+                return jax.lax.scan(body, s, None, length=scan_chunk)
 
         while i + scan_chunk <= max_iter:
             state, ms = run_chunk(state)
@@ -310,12 +361,19 @@ def train(
             if checkpoint_cb is not None:
                 checkpoint_cb(i - 1, state)
 
+    leaves = None
+    build_pc_jit = (jax.jit(aux["build_precond_from_state"])
+                    if lag > 1 else None)
     for i in range(i, max_iter):
         if filters is not None:
             fdyn, fstatic = filters.dynamic_params(dtype)
             state, metrics = train_step(state, fdyn, fstatic)
             # per-step schedule update (reference: train_xdg.py:299)
             filters.update(i)
+        elif lag > 1:
+            if i % lag == 0:
+                leaves = build_pc_jit(state)
+            state, metrics = train_step(state, precond=leaves)
         else:
             state, metrics = train_step(state)
         c = float(metrics["compliance"])

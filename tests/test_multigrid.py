@@ -341,6 +341,46 @@ def test_incremental_gs_sweep_matches_naive(prob_path, dims, levels):
             np.asarray(fast), np.asarray(ref), rtol=1e-11, atol=1e-11)
 
 
+def test_coarse_solver_auto_gate_on_dofs():
+    """"auto" must pick Newton-Schulz only when the coarsest system is
+    small enough that 30 dense n^3 matmul pairs beat a cho_factor; at the
+    2D MBB mgl=2 coarsest (75x25 elements = 3,952 DoFs) NS costs ~0.2 s
+    per hierarchy rebuild and regressed the driver bench 14x (BENCH_r04).
+    float64 hierarchies always use the exact Cholesky parity path."""
+    # small 3-D coarsest (9x5x5 nodes = 675 DoFs at the 256-class point)
+    cfg, prob, grid = _problem("problems/3d/cantilever_flexion.json",
+                               (16, 8, 8))
+    prob32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, prob)
+    rho = jnp.full(grid.dims, 0.5, jnp.float32)
+    mgc = mg.build_mg_config(prob32, 1)
+    levels = mg.build_level_states(mgc, prob32, prob32.young(rho),
+                                   smoother="chebyshev", power_iters=0)
+    auto = mg.MGSolverSettings(num_levels=1, coarse_solver="auto")
+    assert levels[-1].grid.num_nodes * 3 == 675
+    assert mg._resolve_coarse_solver(auto, levels) == "ns"
+
+    # large 2-D coarsest: the 2D MBB at mgl=2 -> 75x25 elems, 3952 DoFs
+    cfg2, prob2, grid2 = _problem("problems/2d/mbb_beam.json", None)
+    prob2_32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, prob2)
+    rho2 = jnp.full(grid2.dims, 0.3, jnp.float32)
+    mgc2 = mg.build_mg_config(prob2_32, 2)
+    levels2 = mg.build_level_states(mgc2, prob2_32, prob2_32.young(rho2),
+                                    smoother="chebyshev", power_iters=0)
+    ndofs2 = levels2[-1].grid.num_nodes * 2
+    assert ndofs2 == 3952, ndofs2
+    assert mg._resolve_coarse_solver(auto, levels2) == "cholesky"
+
+    # float64 hierarchies stay on the exact parity path regardless of size
+    levels64 = mg.build_level_states(mg.build_mg_config(prob, 1), prob,
+                                     prob.young(rho.astype(jnp.float64)),
+                                     smoother="chebyshev", power_iters=0)
+    assert mg._resolve_coarse_solver(auto, levels64) == "cholesky"
+
+
 def test_newton_schulz_coarse_inverse():
     """The matmul-only Newton-Schulz coarsest inverse must (a) solve the
     coarsest system to preconditioner-quality accuracy vs the Cholesky
