@@ -60,6 +60,11 @@ def main(argv=None):
                         "per-step host sync + tunnel latency). Static-"
                         "filter runs only; ignored when --af is set. "
                         "Checkpoints land on chunk boundaries.")
+    p.add_argument("--precond-lag", default=0, type=int,
+                   help="rebuild the MG preconditioner hierarchy every N "
+                        "training steps instead of every step (the CG "
+                        "operator stays exact; fine-level smoother state "
+                        "refreshes every solve). Static-filter runs only.")
     # multiresolution curriculum (reference: train_xdg.py:119 + :234-238 —
     # the shipped config is single-resolution: interval=0, start=0, end=1,
     # order='ftc', repeat 1; these flags expose the full loop)
@@ -115,6 +120,7 @@ def main(argv=None):
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         smoother=args.smoother,
         cheb_degree=args.cheb_degree,
+        precond_lag=args.precond_lag,
         **({"matmul_precision": args.mlp_precision}
            if args.mlp_precision else {}),
     )

@@ -210,6 +210,12 @@ VARIANTS = {
     "mlpfast": {"matmul_precision": "default"},
     "cheb1": {"cheb_degree": 1},
     "mlpfast_cheb1": {"matmul_precision": "default", "cheb_degree": 1},
+    # classic production levers ported to the neural trainer (round 5):
+    # lagged preconditioner with per-solve fine refresh
+    "lag8": {"precond_lag": 8},
+    "cheb1_lag8": {"cheb_degree": 1, "precond_lag": 8},
+    "combo": {"matmul_precision": "default", "cheb_degree": 1,
+              "precond_lag": 8},
 }
 
 
@@ -217,6 +223,19 @@ def _run_variants(args, cfg, ncfg, dims, results):
     for name in [v for v in args.variants.split(",") if v]:
         vcfg = dataclasses.replace(ncfg, **VARIANTS[name])
         vstate, vstep, vaux = build_trainer(cfg, vcfg, dims=dims)
+        lag = vcfg.precond_lag
+        if lag > 1:
+            build_pc = jax.jit(vaux["build_precond_from_state"])
+
+            def vstep(s, _step=vstep, _bp=build_pc, _lag=lag,
+                      _box=[None, 0]):
+                # host-loop lagged preconditioner: rebuild leaves every
+                # _lag calls (same semantics as neural.train's lag path)
+                if _box[1] % _lag == 0:
+                    _box[0] = _bp(s)
+                _box[1] += 1
+                return _step(s, precond=_box[0])
+
         t0 = time.perf_counter()
         vstate, vm = vstep(vstate)
         jax.block_until_ready(vstate.u)
