@@ -11,41 +11,10 @@
 set -u
 cd "$(dirname "$0")/.."
 STATUS=/tmp/r4_jobs.status
-note() { echo "$(date +%H:%M:%S) $*" >> "$STATUS"; }
-
-probe() {
-  timeout 90 python - <<'EOF' > /dev/null 2>&1
-import jax, jax.numpy as jnp
-x = jnp.ones((512, 512))
-assert float((x @ x).sum()) > 0
-EOF
-}
-
-wait_up() {
-  until probe; do
-    note "tpu down"
-    sleep 120
-  done
-}
-
-run_job() {
-  local name=$1 attempts=$2 tmo=$3 i rc
-  shift 3
-  for ((i = 1; i <= attempts; i++)); do
-    wait_up
-    note "job $name attempt $i start"
-    timeout "$tmo" "$@"
-    rc=$?
-    note "job $name attempt $i rc=$rc"
-    [ "$rc" -eq 0 ] && return 0
-    sleep 45
-  done
-  note "job $name FAILED after $attempts attempts"
-  return 1
-}
+source scripts/queue_lib.sh
 
 # Gate on bench.py (avoid two processes contending for the one chip).
-until grep -q "bench rc=" "$STATUS" 2>/dev/null; do sleep 30; done
+until grep -q "bench rc=0" "$STATUS" 2>/dev/null; do sleep 30; done
 note "bench done; queue v3 starting"
 
 # 1. MG envelope at the production TPU configuration.
@@ -71,4 +40,4 @@ run_job c256_full 2 3600 bash -c \
      --iter 2700 --mgl 5 --jid c3d_256_r4 --precond-lag 8 --scan 32 \
      --log-every 96 > logs/c256_full_r4.log 2>&1'
 
-note "queue v3 done"
+note "queue3 rc=0"

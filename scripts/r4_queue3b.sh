@@ -10,35 +10,9 @@
 set -u
 cd "$(dirname "$0")/.."
 STATUS=/tmp/r4_jobs.status
-note() { echo "$(date +%H:%M:%S) $*" >> "$STATUS"; }
+source scripts/queue_lib.sh
 
-probe() {
-  timeout 90 python - <<'EOF' > /dev/null 2>&1
-import jax, jax.numpy as jnp
-x = jnp.ones((512, 512))
-assert float((x @ x).sum()) > 0
-EOF
-}
-
-wait_up() { until probe; do note "tpu down"; sleep 120; done; }
-
-run_job() {
-  local name=$1 attempts=$2 tmo=$3 i rc
-  shift 3
-  for ((i = 1; i <= attempts; i++)); do
-    wait_up
-    note "job $name attempt $i start"
-    timeout "$tmo" "$@"
-    rc=$?
-    note "job $name attempt $i rc=$rc"
-    [ "$rc" -eq 0 ] && return 0
-    sleep 45
-  done
-  note "job $name FAILED after $attempts attempts"
-  return 1
-}
-
-until grep -q "queue3 rc=" "$STATUS" 2>/dev/null; do sleep 30; done
+until grep -q "queue3 rc=0" "$STATUS" 2>/dev/null; do sleep 30; done
 note "queue v3b starting"
 
 run_job prod_gs 2 2400 bash -c \
@@ -52,4 +26,4 @@ run_job ns192_fast 1 5400 bash -c \
      --mlp-precision default --cheb-degree 1 --scan 20 \
      --jid ns192_s1_fast --log-every 100 > logs/ns192_s1_fast.log 2>&1'
 
-note "queue v3b done"
+note "queue3b rc=0"
