@@ -259,14 +259,18 @@ def _run_stage_256():
 #         subprocess timeout seconds)
 # Headline priority: exact-config 256-class > 192 > 2D > neural fallback.
 _STAGES = {
+    # Subprocess timeouts are sized for a COLD persistent cache through a
+    # slow remote-compile day: on 2026-08-20 the axon compile service ran
+    # ~4x slower than round 4 (192-class scan cold compile ~31 min vs the
+    # usual ~8; 2D ~10 min). Warm-cache runs finish each stage in <2 min.
     "classic_2d_mbb_300x100": (_run_stage_2d, _METRIC_2D,
-                               REF_2D_S_PER_ITER, 1, 900),
+                               REF_2D_S_PER_ITER, 1, 2400),
     "classic_3d_cantilever_192x96x96": (_run_stage_192, _METRIC_192,
-                                        REF_3D_192_S_PER_ITER, 2, 1200),
+                                        REF_3D_192_S_PER_ITER, 2, 3000),
     "neural_3d_bridge_64x32x16": (_run_stage_neural, None,
-                                  REF_NEURAL64_S_PER_ITER, 0, 900),
+                                  REF_NEURAL64_S_PER_ITER, 0, 2400),
     "classic_3d_cantilever_256x128x128": (_run_stage_256, _METRIC_256,
-                                          REF_3D_256_S_PER_ITER, 3, 1800),
+                                          REF_3D_256_S_PER_ITER, 3, 3600),
 }
 _STAGE_ORDER = ["classic_2d_mbb_300x100", "classic_3d_cantilever_192x96x96",
                 "neural_3d_bridge_64x32x16",
