@@ -245,12 +245,22 @@ def _run_stage_256():
     # lag8 280.49 with cg_iters pinned at 1 (without the fine refresh
     # lag8 went stale: 333.8 ms at cg 5). NDR_BENCH_LAG=0 restores the
     # rebuild-every-step baseline.
+    # 2026-08-21 service regression (ROUND5.md §3): ANY program that runs
+    # scan(oc_step(precond=leaves)) — fused or split build — now kills
+    # the axon TPU worker deterministically (5/5 fresh backends at both
+    # 256-class and 192-class), while the identical program measured
+    # 280 ms/step in round 4 and the non-precond scan still runs clean.
+    # The orchestrator therefore retries this stage with NDR_BENCH_LAG=0
+    # (_STAGE_FALLBACK_ENV): attempt 1 captures the 10x lag number when
+    # the service tolerates it, the fallback still lands the ~7.9x
+    # rebuild-every-step number instead of erasing the stage.
     lag = int(os.environ.get("NDR_BENCH_LAG", "8"))
     s, c = _classic_bench("problems/3d/cantilever_flexion.json",
                           (256, 128, 128), 5, warm=5, n=32,
                           settings_kw=BEST_256_SETTINGS, precond_lag=lag)
     return {"s_per_iter": round(s, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
             "ref_basis": "c1001.log steady state (exact config match)",
+            "precond_lag": lag,
             "speedup": round(REF_3D_256_S_PER_ITER / s, 2),
             "compliance_at_measurement": round(c, 2)}
 
@@ -275,6 +285,14 @@ _STAGES = {
 _STAGE_ORDER = ["classic_2d_mbb_300x100", "classic_3d_cantilever_192x96x96",
                 "neural_3d_bridge_64x32x16",
                 "classic_3d_cantilever_256x128x128"]
+# Env overrides applied to RETRY attempts (attempt >= 2) of a stage: a
+# config-level fallback for failures that are deterministic for the
+# primary config (e.g. the 2026-08-21 scan(oc_step(precond=...)) worker
+# fault) rather than transient. Retrying the identical config would just
+# crash again and erase the stage.
+_STAGE_FALLBACK_ENV = {
+    "classic_3d_cantilever_256x128x128": {"NDR_BENCH_LAG": "0"},
+}
 _RESULT_TAG = "NDR_STAGE_RESULT "
 
 
@@ -340,13 +358,14 @@ class _Emitter:
         os._exit(0)
 
 
-def _spawn_stage(em, key, timeout_s):
+def _spawn_stage(em, key, timeout_s, extra_env=None):
     """Run one stage in a fresh subprocess; return (sub_dict | None, err)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--stage", key]
+    env = dict(os.environ, **(extra_env or {}))
     try:
         proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
-            text=True, start_new_session=True,
+            text=True, start_new_session=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         em.child = proc
         try:
@@ -373,10 +392,11 @@ def _spawn_stage(em, key, timeout_s):
         return None, f"{type(e).__name__}: {e}"[:300]
 
 
-def _inproc_stage(key):
+def _inproc_stage(key, extra_env=None):
     """Run one stage in this process (fast path: shares the already-paid
     axon handshake + backend). Returns (sub_dict | None, err)."""
     try:
+        os.environ.update(extra_env or {})
         from ndr_tpu.utils.jax_setup import setup
         setup()
         import jax
@@ -419,8 +439,13 @@ def main():
                     "budget leaves no room for a cold 256-class compile")
                 continue
         for attempt in range(retries + 1):
+            # deterministic-fault fallback: retries flip to the stage's
+            # known-safe config instead of re-running the crashing one
+            fb = _STAGE_FALLBACK_ENV.get(key) if attempt > 0 else None
+            if fb:
+                em.extra[f"note_fallback_{key}"] = fb
             if backend_ok:
-                sub, err = _inproc_stage(key)
+                sub, err = _inproc_stage(key, fb)
                 if sub is None:
                     # any in-process failure may have killed the shared
                     # backend (BENCH_r04: one UNAVAILABLE crash erased 3
@@ -430,7 +455,7 @@ def main():
                     em.extra["note_isolation"] = (
                         f"in-process backend demoted after {key}: {err}")
             else:
-                sub, err = _spawn_stage(em, key, timeout_s)
+                sub, err = _spawn_stage(em, key, timeout_s, fb)
             if sub is not None:
                 dev = sub.pop("device", None)
                 if dev:

@@ -38,7 +38,7 @@ def test_headline_priority(monkeypatch, capsys):
     monkeypatch.delenv("NDR_BENCH_STAGES", raising=False)
     monkeypatch.delenv("NDR_BENCH_ISOLATE", raising=False)
     monkeypatch.setattr(bench, "_inproc_stage",
-                        lambda key: (dict(stages[key][0]()), None))
+                        lambda key, fb=None: (dict(stages[key][0]()), None))
     bench.main()
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     final = lines[-1]
@@ -67,14 +67,14 @@ def test_inproc_failure_demotes_to_subprocess(monkeypatch, capsys):
 
     inproc_calls, spawn_calls = [], []
 
-    def fake_inproc(key):
+    def fake_inproc(key, fb=None):
         inproc_calls.append(key)
         try:
             return dict(stages[key][0]()), None
         except Exception as e:  # noqa: BLE001
             return None, str(e)
 
-    def fake_spawn(em, key, timeout_s):
+    def fake_spawn(em, key, timeout_s, fb=None):
         spawn_calls.append(key)
         try:
             return dict(stages[key][0]()), None
@@ -98,6 +98,50 @@ def test_inproc_failure_demotes_to_subprocess(monkeypatch, capsys):
     assert final["metric"] == "m3"
     assert "error" in final["extra"]["boom"]
     assert "note_isolation" in final["extra"]
+
+
+def test_retry_applies_stage_fallback_env(monkeypatch, capsys):
+    """A stage whose primary config faults deterministically (the
+    2026-08-21 scan(oc_step(precond=...)) worker crash) must be retried
+    with its _STAGE_FALLBACK_ENV override, not the same crashing config."""
+    stages = _fake_stages({
+        "c256": (RuntimeError("UNAVAILABLE: TPU worker crashed"),
+                 "256 metric", 2.8, 3),
+    })
+    monkeypatch.setattr(bench, "_STAGES", stages)
+    monkeypatch.setattr(bench, "_STAGE_ORDER", ["c256"])
+    monkeypatch.setattr(bench, "_STAGE_FALLBACK_ENV",
+                        {"c256": {"NDR_BENCH_LAG": "0"}})
+    monkeypatch.setenv("NDR_BENCH_RETRY", "1")
+    monkeypatch.delenv("NDR_BENCH_STAGES", raising=False)
+    monkeypatch.delenv("NDR_BENCH_ISOLATE", raising=False)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    calls = []
+
+    def fake_inproc(key, fb=None):
+        calls.append(("inproc", key, fb))
+        return None, "UNAVAILABLE: TPU worker crashed"
+
+    def fake_spawn(em, key, timeout_s, fb=None):
+        calls.append(("spawn", key, fb))
+        if fb and fb.get("NDR_BENCH_LAG") == "0":
+            return {"s_per_iter": 0.356, "precond_lag": 0}, None
+        return None, "subprocess rc=1"
+
+    monkeypatch.setattr(bench, "_inproc_stage", fake_inproc)
+    monkeypatch.setattr(bench, "_spawn_stage", fake_spawn)
+    bench.main()
+
+    assert calls == [
+        ("inproc", "c256", None),            # primary config, no override
+        ("spawn", "c256", {"NDR_BENCH_LAG": "0"}),  # fallback on retry
+    ]
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    final = lines[-1]
+    assert final["value"] == 0.356
+    assert final["extra"]["c256"]["precond_lag"] == 0
+    assert final["extra"]["note_fallback_c256"] == {"NDR_BENCH_LAG": "0"}
 
 
 def test_spawn_stage_real_subprocess_roundtrip(monkeypatch, capsys):
