@@ -27,10 +27,18 @@ cannot lose finished numbers; `value`/`vs_baseline` carry the
 highest-priority completed headline (256-class > 192 > 2D > neural
 fallback).
 
+Stage order puts the reliable lag0 256-class number BEFORE the bonus
+`_lag8` attempt: under the 2026-08-21 axon service regression any
+scan(oc_step(precond=leaves)) program kills the TPU worker (ROUND5.md
+§3), so the bonus stage runs last, isolated, without retry — it
+overrides the headline (priority 4) only if the service executes it
+again (280 ms/step = 10.0x in round 4).
+
 Env knobs: NDR_BENCH_BUDGET (default 2400 s wall guard for starting the
-256-class stage), NDR_BENCH_FAST=1 (skip 256), NDR_BENCH_LAG (precond
-lag for the 256 stage, default 8), NDR_BENCH_STAGES (comma list to run a
-subset), NDR_BENCH_RETRY (retries per stage, default 1).
+256-class stages), NDR_BENCH_FAST=1 (skip 256), NDR_BENCH_LAG (precond
+lag for the primary 256 stage, default 0 while the precond-scan fault
+is live), NDR_BENCH_STAGES (comma list to run a subset), NDR_BENCH_RETRY
+(retries per stage, default 1).
 """
 
 import json
@@ -196,8 +204,11 @@ _METRIC_192 = ("3D cantilever_flexion 192x96x96 classic SIMP-OC (MGPCG "
                "iteration")
 _METRIC_256 = ("3D cantilever_flexion 256x128x128 classic SIMP-OC "
                "(MGPCG mgl=5 tol=1e-4, fused Pallas stiffness, "
-               "f64-refined, lagged preconditioner), seconds per OC "
-               "iteration")
+               "f64-refined), seconds per OC iteration")
+_METRIC_256_LAG8 = ("3D cantilever_flexion 256x128x128 classic SIMP-OC "
+                    "(MGPCG mgl=5 tol=1e-4, fused Pallas stiffness, "
+                    "f64-refined, lagged preconditioner), seconds per OC "
+                    "iteration")
 
 
 # ---------------------------------------------------------------------------
@@ -250,17 +261,33 @@ def _run_stage_256():
     # the axon TPU worker deterministically (5/5 fresh backends at both
     # 256-class and 192-class), while the identical program measured
     # 280 ms/step in round 4 and the non-precond scan still runs clean.
-    # The orchestrator therefore retries this stage with NDR_BENCH_LAG=0
-    # (_STAGE_FALLBACK_ENV): attempt 1 captures the 10x lag number when
-    # the service tolerates it, the fallback still lands the ~7.9x
-    # rebuild-every-step number instead of erasing the stage.
-    lag = int(os.environ.get("NDR_BENCH_LAG", "8"))
+    # The PRIMARY stage therefore runs rebuild-every-step (lag=0,
+    # 0.359 s/iter = 7.8x, reliable) so the headline lands early; the
+    # budget-gated BONUS stage `..._lag8` then attempts the 280 ms lag
+    # combo once, overriding the headline only if the service executes
+    # it again. NDR_BENCH_LAG flips the primary back if ever needed.
+    lag = int(os.environ.get("NDR_BENCH_LAG", "0"))
     s, c = _classic_bench("problems/3d/cantilever_flexion.json",
                           (256, 128, 128), 5, warm=5, n=32,
                           settings_kw=BEST_256_SETTINGS, precond_lag=lag)
     return {"s_per_iter": round(s, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
             "ref_basis": "c1001.log steady state (exact config match)",
             "precond_lag": lag,
+            "speedup": round(REF_3D_256_S_PER_ITER / s, 2),
+            "compliance_at_measurement": round(c, 2)}
+
+
+def _run_stage_256_lag8():
+    """Bonus attempt at the lagged-preconditioner combo (280 ms/step in
+    round 4, logs/profile_oc_256_combo.json). Crashes the TPU worker
+    under the 2026-08-21 service regression — run LAST, no retry, only
+    with budget to spare; a success outranks the lag0 headline."""
+    s, c = _classic_bench("problems/3d/cantilever_flexion.json",
+                          (256, 128, 128), 5, warm=5, n=32,
+                          settings_kw=BEST_256_SETTINGS, precond_lag=8)
+    return {"s_per_iter": round(s, 5), "ref_s_per_iter": REF_3D_256_S_PER_ITER,
+            "ref_basis": "c1001.log steady state (exact config match)",
+            "precond_lag": 8,
             "speedup": round(REF_3D_256_S_PER_ITER / s, 2),
             "compliance_at_measurement": round(c, 2)}
 
@@ -281,10 +308,13 @@ _STAGES = {
                                   REF_NEURAL64_S_PER_ITER, 0, 2400),
     "classic_3d_cantilever_256x128x128": (_run_stage_256, _METRIC_256,
                                           REF_3D_256_S_PER_ITER, 3, 3600),
+    "classic_3d_cantilever_256x128x128_lag8": (
+        _run_stage_256_lag8, _METRIC_256_LAG8, REF_3D_256_S_PER_ITER, 4, 1500),
 }
 _STAGE_ORDER = ["classic_2d_mbb_300x100", "classic_3d_cantilever_192x96x96",
                 "neural_3d_bridge_64x32x16",
-                "classic_3d_cantilever_256x128x128"]
+                "classic_3d_cantilever_256x128x128",
+                "classic_3d_cantilever_256x128x128_lag8"]
 # Env overrides applied to RETRY attempts (attempt >= 2) of a stage: a
 # config-level fallback for failures that are deterministic for the
 # primary config (e.g. the 2026-08-21 scan(oc_step(precond=...)) worker
@@ -425,7 +455,8 @@ def main():
     for key in stages:
         _, metric, ref, pri, timeout_s = _STAGES[key]
         elapsed = time.perf_counter() - t_start
-        if key == "classic_3d_cantilever_256x128x128":
+        stage_retries = retries
+        if key.startswith("classic_3d_cantilever_256x128x128"):
             # Wall-clock guard: a COLD compile of the 256-class scan
             # program is ~8 min; only start the stage if that still fits
             # the budget. The persistent compilation cache
@@ -434,11 +465,19 @@ def main():
                 em.extra["note_256"] = "skipped (NDR_BENCH_FAST)"
                 continue
             if elapsed + 900.0 > budget:
-                em.extra["note_256"] = (
+                em.extra[f"note_{key}"] = (
                     f"skipped: {elapsed:.0f}s elapsed of {budget:.0f}s "
                     "budget leaves no room for a cold 256-class compile")
                 continue
-        for attempt in range(retries + 1):
+        if key == "classic_3d_cantilever_256x128x128_lag8":
+            # Bonus stage: expected to fault while the precond-scan
+            # service regression is live (ROUND5.md §3) — never retry
+            # (a deterministic crash would just burn the budget) and
+            # always isolate so the crash cannot poison the headline
+            # results already recorded.
+            stage_retries = 0
+            backend_ok = False
+        for attempt in range(stage_retries + 1):
             # deterministic-fault fallback: retries flip to the stage's
             # known-safe config instead of re-running the crashing one
             fb = _STAGE_FALLBACK_ENV.get(key) if attempt > 0 else None
@@ -467,7 +506,7 @@ def main():
             sys.stderr.write(f"[bench] stage {key} attempt {attempt + 1} "
                              f"failed: {err}\n")
             remaining = budget - (time.perf_counter() - t_start)
-            if attempt < retries and remaining > 300.0:
+            if attempt < stage_retries and remaining > 300.0:
                 # cool-down: give a crashed axon TPU worker time to
                 # restart before the fresh backend reattaches
                 time.sleep(60.0)
