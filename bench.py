@@ -464,10 +464,15 @@ def main():
             if os.environ.get("NDR_BENCH_FAST"):
                 em.extra["note_256"] = "skipped (NDR_BENCH_FAST)"
                 continue
-            if elapsed + 900.0 > budget:
+            # the bonus lag8 stage reuses programs compiled this round
+            # (persistent cache) and typically ends in a fast fault while
+            # the §3 service regression is live — 500 s covers it; the
+            # primary stage budgets for a cold ~8 min compile
+            need = 500.0 if key.endswith("_lag8") else 900.0
+            if elapsed + need > budget:
                 em.extra[f"note_{key}"] = (
                     f"skipped: {elapsed:.0f}s elapsed of {budget:.0f}s "
-                    "budget leaves no room for a cold 256-class compile")
+                    f"budget leaves no room ({need:.0f}s needed)")
                 continue
         if key == "classic_3d_cantilever_256x128x128_lag8":
             # Bonus stage: expected to fault while the precond-scan
