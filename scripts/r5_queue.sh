@@ -21,17 +21,22 @@ until grep -q "bench rc=0" "$STATUS" 2>/dev/null; do sleep 30; done
 note "r5 queue starting"
 
 : > logs/profile_neural_192_variants.log
-for v in base mlpfast cheb1 mlpfast_cheb1 cheb1_lag8 combo; do
+# lag variants (cheb1_lag8, combo) excluded while the precond-scan
+# service fault is live (ROUND5.md #3) — re-add once
+# scripts/precond_scan_canary.py --dims 192,96,96 --mgl 3 passes
+for v in base mlpfast cheb1 mlpfast_cheb1; do
   run_job "neural_$v" 2 2400 bash -c \
     "python scripts/profile_neural.py --skip-phases --variants $v \
        --scan 20 --out logs/profile_neural_192_variants.json \
        >> logs/profile_neural_192_variants.log 2>&1"
 done
 
-run_job c256_full 2 5400 bash -c \
+# --precond-lag 8 dropped while the ROUND5.md #3 fault is live (any
+# scan(oc_step(precond=leaves)) program kills the TPU worker)
+run_job c256_full 2 7200 bash -c \
   'python -m ndr_tpu.training.train_voxelfem \
      --prob problems/3d/cantilever_flexion.json --grid "[256,128,128]" \
-     --iter 2700 --mgl 5 --jid c3d_256_r5 --precond-lag 8 --scan 32 \
+     --iter 2700 --mgl 5 --jid c3d_256_r5 --scan 32 \
      --log-every 96 > logs/c256_full_r5.log 2>&1'
 
 run_job mg_envelope 2 2700 bash -c \
@@ -42,7 +47,7 @@ run_job ns192_fast 1 5400 bash -c \
   'python -m ndr_tpu.training.train_xdg \
      --prob problems/3d/bridge.json --grid "[192,96,96]" --v0 0.4 \
      --mgl 3 --sigma 1.0 --iter 1500 --vcs constrained_sigmoid \
-     --mlp-precision default --cheb-degree 1 --precond-lag 8 --scan 24 \
+     --mlp-precision default --cheb-degree 1 --scan 24 \
      --jid ns192_s1_fast --log-every 100 > logs/ns192_s1_fast.log 2>&1'
 
 run_job prod_gs 2 2400 bash -c \
