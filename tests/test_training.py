@@ -60,6 +60,28 @@ def test_neural_precond_lag_matches_fresh_rebuild():
     np.testing.assert_allclose(lag_scan, base, rtol=2e-3)
 
 
+def test_neural_fast_config_tracks_default_trajectory():
+    """Round-5 production fast config (one-pass bf16 hidden MLP matmuls
+    + degree-1 Chebyshev smoothing): device-validated end-to-end at the
+    192-class north star (logs/ns192_s1_fast.log, final 8.4786/8.4740
+    vs baseline 8.4721/8.4663). Pin the CPU-scale contract here: the
+    fast config must follow the default-config compliance trajectory to
+    ~1e-2 relative (bf16 matmul noise dominates) and converge to the
+    same design quality."""
+    cfg = load_problem("problems/2d/mbb_beam.json")
+    kw = dict(dims=(16, 8), max_iter=20, log=lambda s: None)
+    _, base, _ = neural.train(cfg, _tiny_ncfg(), **kw)
+    _, fast, _ = neural.train(
+        cfg, _tiny_ncfg(matmul_precision="default", cheb_degree=1), **kw)
+    assert np.isfinite(fast).all()
+    # same basin step-for-step: bf16 hidden matmuls perturb the density
+    # field slightly, but on this well-conditioned tiny problem the
+    # trajectories stay within ~1% relative throughout
+    np.testing.assert_allclose(fast, base, rtol=2e-2)
+    # converged design quality matches (final compliance within 1%)
+    assert abs(fast[-1] - base[-1]) / base[-1] < 1e-2
+
+
 def test_multires_curriculum():
     """Resolution schedule: same model re-trained on growing grids
     (reference: train_xdg.py per-resolution loop)."""
